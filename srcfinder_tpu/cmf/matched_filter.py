@@ -106,13 +106,13 @@ class MFResult(NamedTuple):
     n: jax.Array           # (C,) valid-pixel counts
 
 
-def _loo_nll(lam, Z, d, n, m, alphas, nchan):
+def _loo_nll(lam, Z, logdiag, n, m, alphas, nchan):
     """Theiler eq.29 LOOCV nll for all alphas at once, in the eigenbasis.
 
-    lam: (C, B) eigenvalues of the correlation matrix
-    Z:   (L, C, B) whitened, rotated, zero-mean data
-    d:   (C, B) sqrt of covariance diagonal
-    n:   (C,) valid counts; m: (L, C) valid mask; alphas: (A,)
+    lam:     (C, B) eigenvalues of the whitened covariance
+    Z:       (L, C, B) whitened, rotated, zero-mean data
+    logdiag: (C, B) log of the whitener diagonal (log d, or log diag(cholT))
+    n:       (C,) valid counts; m: (L, C) valid mask; alphas: (A,)
     returns nll: (C, A)
     """
     dt = Z.dtype
@@ -123,7 +123,7 @@ def _loo_nll(lam, Z, d, n, m, alphas, nchan):
     glam = nb[:, None, :] * lam[:, :, None] + alphas[None, None, :]       # (C, B, A)
     glam_ok = jnp.all(glam > 0, axis=1)                                   # (C, A)
     safe_glam = jnp.where(glam > 0, glam, 1.0)
-    logdet = (2.0 * jnp.sum(jnp.log(jnp.maximum(d, 1e-300)), axis=1)[:, None]
+    logdet = (2.0 * jnp.sum(logdiag, axis=1)[:, None]
               + jnp.sum(jnp.log(safe_glam), axis=1))                      # (C, A)
 
     # r_k(a) = sum_i Z_ki^2 / glam_ia  -> one MXU matmul per column
@@ -141,7 +141,7 @@ def _loo_nll(lam, Z, d, n, m, alphas, nchan):
 
 @functools.partial(jax.jit, static_argnames=("model", "reflectance"))
 def matched_filter_columns(x, m, abscf, alphas, model: str = "looshrinkage",
-                           reflectance: bool = False):
+                           reflectance: bool = False, T=None):
     """Robust matched filter over all columns simultaneously.
 
     x:      (L, C, B) active-window radiance (columns = detector samples)
@@ -149,6 +149,10 @@ def matched_filter_columns(x, m, abscf, alphas, model: str = "looshrinkage",
     abscf:  (B,) target gas signature (column 3 of the unit-absorption
             library over the active window, reference: robust_mf.py:237-238)
     alphas: (A,) shrinkage grid (ignored for model='empirical')
+    T:      optional (C, B, B) full shrinkage target (the reference's
+            ``regfull`` path passes the full-column covariance as
+            regularizer, robust_mf.py:99, :353-356); default None uses
+            ``diag(diag(S))``.
 
     Returns :class:`MFResult`. ``mf`` is in MF-score units; multiply by
     ``PPM_SCALING`` for ppm*m in radiance mode (done by the caller exactly
@@ -163,16 +167,33 @@ def matched_filter_columns(x, m, abscf, alphas, model: str = "looshrinkage",
     n, mu, S = masked_moments(x, m)
     ok = n >= 2.0                                                  # need ddof=1
 
-    diag = jnp.diagonal(S, axis1=1, axis2=2)                       # (C, B)
-    d = jnp.sqrt(jnp.maximum(diag, 1e-30))                         # (C, B)
-    Rcorr = S / (d[:, :, None] * d[:, None, :])
-    lam, V = jnp.linalg.eigh(Rcorr)                                # (C,B), (C,B,B)
+    if T is None:
+        # whitener = D = sqrt(diag(S)); whitened covariance = correlation
+        diag = jnp.diagonal(S, axis1=1, axis2=2)                   # (C, B)
+        d = jnp.sqrt(jnp.maximum(diag, 1e-30))                     # (C, B)
+        Rw = S / (d[:, :, None] * d[:, None, :])
+        lam, V = jnp.linalg.eigh(Rw)                               # (C,B),(C,B,B)
+        Wmat = V / d[:, :, None]                                   # D^-1 V
+        logdiag = jnp.log(jnp.maximum(d, 1e-300))
+    else:
+        # whitener = chol(T); whitened covariance M = Lc^-1 S Lc^-T
+        Lc = jnp.linalg.cholesky(T + 1e-12 * jnp.eye(B, dtype=dt))
+        LiS = jax.scipy.linalg.solve_triangular(Lc, S, lower=True)
+        M = jax.scipy.linalg.solve_triangular(
+            Lc, LiS.swapaxes(-1, -2), lower=True).swapaxes(-1, -2)
+        M = 0.5 * (M + M.swapaxes(-1, -2))
+        lam, V = jnp.linalg.eigh(M)
+        # Wmat = Lc^-T V so that z = Wmat^T x is the whitened rotation
+        Wmat = jax.scipy.linalg.solve_triangular(
+            Lc.swapaxes(-1, -2), V, lower=False)
+        logdiag = jnp.log(jnp.maximum(
+            jnp.diagonal(Lc, axis1=1, axis2=2), 1e-300))
 
     xc = (x - mu[None, :, :]) * m[:, :, None]                      # zero-mean valid
-    Z = jnp.einsum("lcb,cbk->lck", xc / d[None, :, :], V)          # (L, C, B)
+    Z = jnp.einsum("lcb,cbk->lck", xc, Wmat)                       # (L, C, B)
 
     if model == "looshrinkage":
-        nll = _loo_nll(lam, Z, d, n, m, alphas, B)                 # (C, A)
+        nll = _loo_nll(lam, Z, logdiag, n, m, alphas, B)           # (C, A)
         mindex = jnp.argmin(nll, axis=1)                           # (C,)
         has_min = jnp.isfinite(jnp.min(nll, axis=1))
         alpha = jnp.where(has_min, alphas[mindex], 0.0)            # fallback a=0
@@ -185,14 +206,14 @@ def matched_filter_columns(x, m, abscf, alphas, model: str = "looshrinkage",
         raise ValueError(f"unknown model {model!r}")
 
     # final covariance C = (1-a)S + aT shares the eigenbasis:
-    # C^-1 = D^-1 V diag(1/((1-a)lam + a)) V^T D^-1
+    # C^-1 = Wmat diag(1/((1-a)lam + a)) Wmat^T
     clam = (1.0 - alpha)[:, None] * lam + alpha[:, None]           # (C, B)
     clam = jnp.where(clam > 1e-30, clam, 1e-30)
 
     # target: t = abscf * mu (radiance) or abscf - mu (reflectance)
     # (reference: robust_mf.py:378-379)
     t = (abscf[None, :] - mu) if reflectance else (abscf[None, :] * mu)
-    tw = jnp.einsum("cb,cbk->ck", t / d, V)                        # V^T D^-1 t
+    tw = jnp.einsum("cb,cbk->ck", t, Wmat)                         # Wmat^T t
     # normalizer = t^T C^-1 t
     normalizer = jnp.sum(tw * tw / clam, axis=1)                   # (C,)
     # y = C^-1 t in the whitened basis applied to Z: mf_l = Z_l . (tw/clam)
@@ -202,6 +223,75 @@ def matched_filter_columns(x, m, abscf, alphas, model: str = "looshrinkage",
     mf = jnp.where(m > 0, mf, 0.0) * jnp.where(ok, 1.0, 0.0)[None, :]
     return MFResult(mf=mf, alpha_index=mindex, nll=nll, mu=mu,
                     n=n.astype(jnp.int32))
+
+
+class MFMultimodalResult(NamedTuple):
+    mf: jax.Array            # (L, C)
+    valid: jax.Array         # (L, C) bool: pixel has an (unrejected) estimate
+    labels: jax.Array        # (L, C) int32 cluster ids
+    alpha_pix: jax.Array     # (L, C) int32 per-pixel chosen alpha index
+    rejected: jax.Array      # (C, K) bool rejected clusters
+
+
+def matched_filter_columns_multimodal(x, m, abscf, alphas, bgmodes: int,
+                                      pcadim: int = 6, reject: bool = False,
+                                      regfull: bool = False,
+                                      model: str = "looshrinkage",
+                                      reflectance: bool = False,
+                                      kmeans_iters: int = 25, seed: int = 0):
+    """Multimodal background MF: PCA + k-means column partitions, one
+    covariance model per (column, mode) (reference: robust_mf.py:306-397).
+
+    Rejection semantics match the reference output: clusters with fewer
+    than ``1.2 * nbands`` samples are rejected when ``reject`` is set
+    (robust_mf.py:199-200, :321-324); rejected clusters' pixels carry no
+    estimate (they stay nodata in the written image — the reference's
+    ki<0 pass is fully overwritten by the positive modes, robust_mf.py:
+    339-386). If every cluster in a column is rejected, rejection is
+    disabled for that column (robust_mf.py:330-332). Deviation from the
+    reference recorded here: the reference cannot reject cluster id 0
+    (it flips the sign of the label, and -0 == 0); we treat cluster 0
+    like any other.
+
+    ``regfull`` shrinks toward the full-column covariance instead of the
+    diagonal (robust_mf.py:353-356; note cov() re-centers, so the
+    reference's ``Icol - mu_mode`` regularizer equals the full-column
+    covariance regardless of the mode mean).
+    """
+    from .kmeans import masked_pca_project, kmeans_columns
+
+    mbool = m.astype(bool)
+    x = jnp.where(mbool[:, :, None], x, 0.0)
+    L, C, B = x.shape
+    z = masked_pca_project(x, m, pcadim)
+    labels, _ = kmeans_columns(z, m, bgmodes, iters=kmeans_iters, seed=seed)
+
+    bgminsamp = int(B * 1.2)
+    onehot = (jax.nn.one_hot(labels, bgmodes, dtype=x.dtype)
+              * m[:, :, None].astype(x.dtype))                     # (L, C, K)
+    cnt = onehot.sum(axis=0)                                       # (C, K)
+    rej = (cnt < bgminsamp) if reject else jnp.zeros_like(cnt, bool)
+    # columns where all modes rejected: proceed without rejection
+    all_rej = rej.all(axis=1)
+    rej = rej & ~all_rej[:, None]
+
+    Tfull = masked_moments(x, m)[2] if regfull else None
+
+    mf = jnp.zeros((L, C), x.dtype)
+    alpha_pix = jnp.full((L, C), -1, jnp.int32)
+    valid = jnp.zeros((L, C), bool)
+    for k in range(bgmodes):
+        mask_k = mbool & (labels == k)
+        res_k = matched_filter_columns(x, mask_k.astype(x.dtype), abscf,
+                                       alphas, model=model,
+                                       reflectance=reflectance, T=Tfull)
+        use_k = mask_k & ~rej[:, k][None, :]
+        mf = jnp.where(use_k, res_k.mf, mf)
+        alpha_pix = jnp.where(use_k, res_k.alpha_index[None, :], alpha_pix)
+        valid = valid | use_k
+
+    return MFMultimodalResult(mf=mf, valid=valid, labels=labels,
+                              alpha_pix=alpha_pix, rejected=rej)
 
 
 def mf_column_stats(mf_ppmm, m, nodata=-9999.0):

@@ -1,0 +1,214 @@
+"""Host-side CMF image pipeline: ENVI in -> jitted MF on device -> ENVI out.
+
+Mirrors the reference script's I/O contract (reference: cmf/robust_mf.py
+__main__, :139-405): 4-band BIP float64 output (RGB radiance + CH4 ppm*m),
+nodata-stamped MF band, per-column stats CSV, optional bgmeta image with
+cluster id and alpha index. The execution model is replaced: instead of a
+serial per-column host loop, columns are processed in fixed-shape batches
+on the accelerator (jit caches one executable; the last batch is padded).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import OrderedDict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import envi as envi_io
+from . import matched_filter as mfmod
+
+__all__ = ["active_range_for_library", "load_library", "robust_mf_image"]
+
+
+def active_range_for_library(library_path: str, reflectance: bool = False):
+    """Active channel window from the library filename
+    (reference: robust_mf.py:185-194)."""
+    name = os.path.basename(library_path)
+    if reflectance and "ch4" in name:
+        return (5, 420)
+    if "ch4" in name:
+        return (351, 422)
+    if "co2" in name:
+        return (309, 391)
+    raise ValueError(f"could not set active range for library {library_path}")
+
+
+def load_library(library_path: str, active):
+    """Unit-absorption spectrum, column 3 over the active window
+    (reference: robust_mf.py:237-238)."""
+    libdata = np.loadtxt(library_path).astype(np.float64)
+    return libdata[active[0] - 1: active[1], 2]
+
+
+_BAND_NAMES_4 = ["Red Radiance (uW/nm/sr/cm2)",
+                 "Green Radiance (uW/nm/sr/cm2)",
+                 "Blue Radiance (uW/nm/sr/cm2)",
+                 "CH4 Absorption (ppm x m)"]
+
+
+def robust_mf_image(infile: str, library: str, outfile: str,
+                    model: str = "looshrinkage", bgmodes: int = 1,
+                    pcadim: int = 6, reject: bool = False,
+                    regfull: bool = False, reflectance: bool = False,
+                    rgb_bands=(60, 42, 24), save_bgmeta: bool = False,
+                    col_chunk: int = 256, dtype=np.float32,
+                    verbose: bool = False):
+    """Run the columnwise robust MF over a full flightline.
+
+    Returns a dict with output paths and the column-stats arrays.
+    ``dtype=float64`` enables jax x64 for the duration (the reference
+    computes in float64 LAPACK; float32 is the TPU-native fast path).
+    """
+    import contextlib
+    ctx = (jax.enable_x64(True) if np.dtype(dtype) == np.float64
+           else contextlib.nullcontext())
+    with ctx:
+        return _robust_mf_image(
+            infile, library, outfile, model=model, bgmodes=bgmodes,
+            pcadim=pcadim, reject=reject, regfull=regfull,
+            reflectance=reflectance, rgb_bands=rgb_bands,
+            save_bgmeta=save_bgmeta, col_chunk=col_chunk, dtype=dtype,
+            verbose=verbose)
+
+
+def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
+                     reject, regfull, reflectance, rgb_bands, save_bgmeta,
+                     col_chunk, dtype, verbose):
+    img = envi_io.open_envi(infile)
+    mm = img.open_memmap(interleave="source")
+    if img.interleave != "bil":
+        # normalize access to (lines, bands, samples)
+        bip = img.open_memmap(interleave="bip")
+        mm = bip.transpose(0, 2, 1)
+    nrows, nbands, ncols = mm.shape
+
+    active = active_range_for_library(library, reflectance)
+    abscf = load_library(library, active)
+    alphas = mfmod.default_alphas()
+    nodata = float(img.metadata.get("data ignore value", -9999))
+    if nodata > 0:
+        raise ValueError(f"nodata value={nodata} > 0, values will not be masked")
+
+    rgb_bands = list(rgb_bands) if rgb_bands else []
+
+    # ---- output metadata (reference: robust_mf.py:210-259) -----------
+    outmeta = OrderedDict(img.metadata)
+    outmeta["lines"] = nrows
+    outmeta["samples"] = ncols
+    outmeta["data type"] = envi_io.dtype_to_envi(np.float64)
+    if len(rgb_bands) == 3:
+        outmeta["bands"] = 4
+        outmeta["band names"] = list(_BAND_NAMES_4)
+    elif len(rgb_bands) == 0:
+        outmeta["bands"] = 1
+        outmeta["band names"] = [_BAND_NAMES_4[-1]]
+    else:
+        raise ValueError(f"invalid rgb_bands: {rgb_bands}")
+    outmeta["interleave"] = "bip"
+    for kwarg in ["smoothing factors", "wavelength", "wavelength units", "fwhm"]:
+        outmeta.pop(kwarg, None)
+    bgmodel = "unimodal" if bgmodes == 1 else "multimodal"
+    parms = (f"modelname={model}, bgmodel={bgmodel}")
+    if bgmodes > 1:
+        parms += f", bgmodes={bgmodes}, pcadim={pcadim}, reject={reject}"
+        if model == "looshrinkage":
+            parms += f", regfull={regfull}"
+    if model == "looshrinkage":
+        parms += ", aminexp=-10.0, amaxexp=0.0, astep=0.05"
+    parms += f", reflectance={reflectance}, active_bands={list(active)}"
+    outmeta["model parameters"] = "{ %s }" % parms
+
+    outimg = envi_io.create_envi(outfile + ".hdr", outmeta, force=True, ext="")
+    out_mm = outimg.open_memmap(interleave="source", writable=True)  # (L, C, bands)
+    out_mm[:, :, -1] = nodata
+
+    if save_bgmeta:
+        bgmeta = OrderedDict(outmeta)
+        bgmeta["bands"] = 2
+        bgmeta["data type"] = envi_io.dtype_to_envi(np.int16)
+        bgmeta["num alphas"] = len(alphas)
+        bgmeta["band names"] = ["cluster_id", "alpha_index"]
+        bgimg = envi_io.create_envi(outfile + "_bgmeta.hdr", bgmeta,
+                                    force=True, ext="")
+        bg_mm = bgimg.open_memmap(interleave="source", writable=True)
+
+    colnum = np.full(ncols, nodata)
+    colavg = np.full(ncols, nodata)
+    colstd = np.full(ncols, nodata)
+
+    ppm = 1.0 if reflectance else mfmod.PPM_SCALING
+    alphas_j = jnp.asarray(alphas.astype(dtype))
+    abscf_j = jnp.asarray(abscf.astype(dtype))
+
+    # ---- fixed-shape batched column processing ------------------------
+    for c0 in range(0, ncols, col_chunk):
+        c1 = min(ncols, c0 + col_chunk)
+        width = c1 - c0
+        # (lines, bands, chunk) -> (lines, chunk, B)
+        xblk = np.asarray(mm[:, active[0] - 1: active[1], c0:c1],
+                          dtype=dtype).transpose(0, 2, 1)
+        if width < col_chunk:  # pad to keep the jit cache warm
+            xblk = np.concatenate(
+                [xblk, np.zeros((nrows, col_chunk - width, xblk.shape[2]),
+                                dtype)], axis=1)
+        xj = jnp.asarray(xblk)
+        mj = mfmod.valid_mask(xj).astype(dtype)
+        if bgmodes > 1:
+            res = mfmod.matched_filter_columns_multimodal(
+                xj, mj, abscf_j, alphas_j, bgmodes=bgmodes, pcadim=pcadim,
+                reject=reject, regfull=regfull, model=model,
+                reflectance=reflectance)
+            mf = np.asarray(res.mf) * ppm
+            valid = np.asarray(res.valid)
+            if save_bgmeta:
+                bg_mm[:, c0:c1, 0] = np.asarray(res.labels)[:, :width]
+                bg_mm[:, c0:c1, 1] = np.asarray(res.alpha_pix)[:, :width]
+        else:
+            res = mfmod.matched_filter_columns(
+                xj, mj, abscf_j, alphas_j, model=model,
+                reflectance=reflectance)
+            mf = np.asarray(res.mf) * ppm
+            valid = np.asarray(mj) > 0
+            if save_bgmeta:
+                bg_mm[:, c0:c1, 0] = 1
+                bg_mm[:, c0:c1, 1] = np.asarray(res.alpha_index)[None, :width]
+
+        mf = mf[:, :width]
+        valid = valid[:, :width]
+        out_mm[:, c0:c1, -1] = np.where(valid, mf, nodata)
+        if len(rgb_bands) == 3:
+            for oi, bi in enumerate(rgb_bands):
+                out_mm[:, c0:c1, oi] = mm[:, bi, c0:c1]
+
+        nblk = valid.sum(axis=0)
+        with np.errstate(invalid="ignore"):
+            avg = np.where(nblk > 0, (mf * valid).sum(axis=0) / np.maximum(nblk, 1),
+                           nodata)
+            var = np.where(
+                nblk > 0,
+                (valid * (mf - avg[None, :]) ** 2).sum(axis=0) / np.maximum(nblk, 1),
+                0.0)
+        colnum[c0:c1] = np.where(nblk > 0, nblk, nodata)
+        colavg[c0:c1] = avg
+        colstd[c0:c1] = np.where(nblk > 0, np.sqrt(var), nodata)
+        if verbose:
+            print(f"columns [{c0}:{c1}] done")
+
+    out_mm.flush()
+    if save_bgmeta:
+        bg_mm.flush()
+
+    # ---- column stats CSV (reference: robust_mf.py:399-403; the
+    # reference's DataFrame construction is bit-rotted — we write one row
+    # per column with npix/avg/std columns) --------------------------------
+    colcsv = os.path.splitext(infile)[0] + "_column_stats.csv"
+    import pandas as pd
+    coldf = pd.DataFrame({"npix": colnum, "avg": colavg, "std": colstd})
+    coldf.to_csv(colcsv, index_label="column")
+
+    return dict(outfile=outfile, colcsv=colcsv,
+                colnum=colnum, colavg=colavg, colstd=colstd)

@@ -1,0 +1,215 @@
+"""GoogLeNet / Inception-v1 with 1 input channel, in Flax.
+
+TPU re-implementation of the reference architecture
+(reference: cnn/archs/googlenet1.py): conv1 takes 1 channel
+(googlenet1.py:60), num_classes=2, aux classifiers kept for training
+(googlenet1.py:80-85), BasicConv2d = conv(bias=False) + BN(eps=0.001) +
+ReLU (googlenet1.py:266-275), inception branch3 uses kernel_size=3 (the
+torchvision 5x5 "known bug" preserved for weight compatibility,
+googlenet1.py:205-210), trunc-normal(std=0.01, a=-2, b=2) init
+(googlenet1.py:94-100).
+
+Layout is NHWC (TPU-native); the torch converter transposes OIHW->HWIO.
+MaxPool uses ceil_mode semantics via explicit edge padding with -inf.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+__all__ = ["GoogLeNet", "googlenet", "CAMPAIGN_NORM", "clamp_ch4"]
+
+#: per-campaign normalization constants
+#: (reference: cnn/cnn_pred_pipeline.py:126-157)
+CAMPAIGN_NORM = {
+    "COVID_QC": (110.6390, 183.9152),
+    "CalCH4_v8": (140.6399, 237.5434),
+    "Permian_QC": (100.2635, 158.7060),
+    "multi_256": (115.0, 190.0),
+    "multi_64": (115.0, 190.0),
+}
+
+
+def clamp_ch4(x, vmin=0.0, vmax=4000.0):
+    """ClampCH4 preprocessing (reference: cnn_pred_pipeline.py:19-30)."""
+    return jnp.clip(x, vmin, vmax)
+
+
+def _ceil_maxpool(x, window: int, stride: int):
+    """MaxPool2d(window, stride, ceil_mode=True) in NHWC.
+
+    torch ceil_mode pads on the bottom/right so that the last window may
+    start inside the input; pad with -inf and pool VALID.
+    """
+    h, w = x.shape[1], x.shape[2]
+    out_h = -(-(h - window) // stride) + 1
+    out_w = -(-(w - window) // stride) + 1
+    pad_h = max(0, (out_h - 1) * stride + window - h)
+    pad_w = max(0, (out_w - 1) * stride + window - w)
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                    constant_values=-jnp.inf)
+    return nn.max_pool(x, (window, window), strides=(stride, stride),
+                       padding="VALID")
+
+
+def adaptive_avg_pool2d(x, out_hw):
+    """torch F.adaptive_avg_pool2d in NHWC: bin i spans
+    [floor(i*H/out), ceil((i+1)*H/out)) — bins may overlap (e.g. 14->4)."""
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    rows = []
+    for i in range(oh):
+        r0, r1 = (i * h) // oh, -(-((i + 1) * h) // oh)
+        cols = []
+        for j in range(ow):
+            c0, c1 = (j * w) // ow, -(-((j + 1) * w) // ow)
+            cols.append(x[:, r0:r1, c0:c1, :].mean(axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)
+
+
+def trunc_normal_init(std=0.01, lower=-2.0, upper=2.0):
+    """torch.nn.init.trunc_normal_(std=0.01, a=-2, b=2) equivalent
+    (reference: googlenet1.py:97). Note a/b are absolute bounds."""
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.truncated_normal(
+            key, lower / std, upper / std, shape, dtype) * std
+    return init
+
+
+class BasicConv2d(nn.Module):
+    """conv(bias=False) + BatchNorm(eps=1e-3) + ReLU
+    (reference: googlenet1.py:266-275)."""
+    features: int
+    kernel_size: int = 1
+    strides: int = 1
+    padding: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features,
+                    (self.kernel_size, self.kernel_size),
+                    strides=(self.strides, self.strides),
+                    padding=[(self.padding, self.padding)] * 2,
+                    use_bias=False,
+                    kernel_init=trunc_normal_init(),
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         momentum=0.9, dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+class Inception(nn.Module):
+    """Four-branch inception block (reference: googlenet1.py:184-228)."""
+    ch1x1: int
+    ch3x3red: int
+    ch3x3: int
+    ch5x5red: int
+    ch5x5: int
+    pool_proj: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = partial(BasicConv2d, dtype=self.dtype)
+        b1 = conv(self.ch1x1, 1, name="branch1")(x, train)
+        b2 = conv(self.ch3x3red, 1, name="branch2_0")(x, train)
+        b2 = conv(self.ch3x3, 3, padding=1, name="branch2_1")(b2, train)
+        b3 = conv(self.ch5x5red, 1, name="branch3_0")(x, train)
+        # kernel 3 (not 5): torchvision weight-compat quirk
+        b3 = conv(self.ch5x5, 3, padding=1, name="branch3_1")(b3, train)
+        b4 = nn.max_pool(jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                                 constant_values=-jnp.inf),
+                         (3, 3), strides=(1, 1), padding="VALID")
+        b4 = conv(self.pool_proj, 1, name="branch4_1")(b4, train)
+        return jnp.concatenate([b1, b2, b3, b4], axis=-1)
+
+
+class InceptionAux(nn.Module):
+    """Aux classifier head (reference: googlenet1.py:231-263)."""
+    num_classes: int
+    dropout: float = 0.7
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = adaptive_avg_pool2d(x, (4, 4))
+        n = x.shape[0]
+        x = BasicConv2d(128, 1, dtype=self.dtype, name="conv")(x, train)
+        x = x.reshape(n, -1)
+        x = nn.relu(nn.Dense(1024, kernel_init=trunc_normal_init(),
+                             dtype=self.dtype, name="fc1")(x))
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.num_classes, kernel_init=trunc_normal_init(),
+                     dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class GoogLeNet(nn.Module):
+    """1-channel GoogLeNet (reference: googlenet1.py:27-163).
+
+    __call__(x NHWC, train) -> logits, or (logits, aux2, aux1) when
+    training with aux_logits (matching GoogLeNetOutputs ordering,
+    googlenet1.py:19).
+    """
+    num_classes: int = 2
+    aux_logits: bool = True
+    dropout: float = 0.2
+    dropout_aux: float = 0.7
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, features_only: bool = False):
+        conv = partial(BasicConv2d, dtype=self.dtype)
+        inc = partial(Inception, dtype=self.dtype)
+        x = conv(64, 7, strides=2, padding=3, name="conv1")(x, train)
+        x = _ceil_maxpool(x, 3, 2)
+        x = conv(64, 1, name="conv2")(x, train)
+        x = conv(192, 3, padding=1, name="conv3")(x, train)
+        x = _ceil_maxpool(x, 3, 2)
+
+        x = inc(64, 96, 128, 16, 32, 32, name="inception3a")(x, train)
+        x = inc(128, 128, 192, 32, 96, 64, name="inception3b")(x, train)
+        x = _ceil_maxpool(x, 3, 2)
+
+        x = inc(192, 96, 208, 16, 48, 64, name="inception4a")(x, train)
+        aux1 = None
+        if self.aux_logits and train:
+            aux1 = InceptionAux(self.num_classes, self.dropout_aux,
+                                dtype=self.dtype, name="aux1")(x, train)
+        x = inc(160, 112, 224, 24, 64, 64, name="inception4b")(x, train)
+        x = inc(128, 128, 256, 24, 64, 64, name="inception4c")(x, train)
+        x = inc(112, 144, 288, 32, 64, 64, name="inception4d")(x, train)
+        aux2 = None
+        if self.aux_logits and train:
+            aux2 = InceptionAux(self.num_classes, self.dropout_aux,
+                                dtype=self.dtype, name="aux2")(x, train)
+        x = inc(256, 160, 320, 32, 128, 128, name="inception4e")(x, train)
+        x = _ceil_maxpool(x, 2, 2)
+        x = inc(256, 160, 320, 32, 128, 128, name="inception5a")(x, train)
+        x = inc(384, 192, 384, 48, 128, 128, name="inception5b")(x, train)
+
+        if features_only:
+            # FCN trunk output (reference: fcn_pred_pipeline.py:157 keeps
+            # children[:-5], i.e. everything up to inception5b)
+            return x
+
+        x = x.mean(axis=(1, 2))                  # AdaptiveAvgPool2d((1,1))
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.num_classes, kernel_init=trunc_normal_init(),
+                     dtype=self.dtype, name="fc")(x)
+        if train and self.aux_logits:
+            return x, aux2, aux1
+        return x
+
+
+def googlenet(num_classes: int = 2, aux_logits: bool = True, **kwargs):
+    """Factory (reference: googlenet1.py:278-291)."""
+    return GoogLeNet(num_classes=num_classes, aux_logits=aux_logits, **kwargs)

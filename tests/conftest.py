@@ -6,8 +6,8 @@ virtual CPU devices exactly as the driver's dryrun does.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA_FLAGS must be set before the CPU client is created.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +15,18 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+import jax  # noqa: E402
+
+# This environment force-registers the axon TPU platform ignoring
+# JAX_PLATFORMS (jax.config.jax_platforms arrives as "axon,cpu"); pin the
+# test session to CPU explicitly so tests never ride the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: this box has a single CPU core, so cold
+# XLA compiles dominate test wall-clock; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture
