@@ -1,0 +1,213 @@
+"""Detection pipeline tests: shift-and-stitch parity vs a literal loop
+oracle, dense CNN window extraction, salience->candidates, filtdet, and
+posthoc downsampling."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srcfinder_tpu.models import googlenet
+from srcfinder_tpu.detect import (stitch_stack, fcn_shift_saliency,
+                                  salience2detections, save_detections,
+                                  filtdet, kde, gaussian_downsample,
+                                  preprocess_ch4, norm_for_model)
+from srcfinder_tpu.models.fcn import fcn_apply
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = googlenet(num_classes=2, dropout=0.0, dropout_aux=0.0)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 1)), train=False)
+    return model, variables
+
+
+def test_stitch_stack_matches_literal_loop(rng):
+    """stitch as flip+transpose+reshape == the reference's per-shift
+    strided assignment (fcn_pred_pipeline.py:73-95)."""
+    scale, h, w = 4, 3, 5
+    fl_shape = (9, 17)
+    preds = rng.normal(size=(scale * scale, h, w)).astype(np.float32)
+
+    stitched_ref = np.zeros((h * scale, w * scale))
+    for i in range(scale * scale):
+        top, left = i // scale, i % scale
+        stitched_ref[scale - top - 1::scale, scale - left - 1::scale] = preds[i]
+    stitched_ref = stitched_ref[scale // 2: fl_shape[0] + scale // 2,
+                                scale // 2: fl_shape[1] + scale // 2]
+
+    got = np.asarray(stitch_stack(fl_shape, jnp.asarray(preds), scale))
+    np.testing.assert_array_equal(got, stitched_ref)
+
+
+def test_fcn_shift_views_match_reference_padding(small_model, rng):
+    """Each dynamic-slice view equals the reference's explicit
+    ZeroPad2d((left, s-left, top, s-top)) padding
+    (fcn_pred_pipeline.py:56-71)."""
+    from srcfinder_tpu.detect.fcn_pipeline import divisibility_pad
+    scale = 8
+    img = rng.normal(size=(11, 14)).astype(np.float32)
+    padded = np.asarray(divisibility_pad(jnp.asarray(img), scale))
+    canvas = np.pad(padded, ((scale, scale), (scale, scale)))
+    hp, wp = padded.shape[0] + scale, padded.shape[1] + scale
+    for top, left in [(0, 0), (3, 5), (7, 7)]:
+        ref = np.pad(padded, ((top, scale - top), (left, scale - left)))
+        view = canvas[scale - top: scale - top + hp,
+                      scale - left: scale - left + wp]
+        np.testing.assert_array_equal(view, ref)
+
+
+def test_fcn_chunk_matches_explicit_padding_forwards(small_model, rng):
+    """A batched shift chunk == explicit per-shift ZeroPad2d forwards.
+
+    Combined with test_stitch_stack_matches_literal_loop and
+    test_fcn_shift_views_match_reference_padding this covers the full
+    shift-and-stitch path without the 1024-forward oracle loop."""
+    from srcfinder_tpu.detect.fcn_pipeline import (_fcn_shifts_chunk,
+                                                   divisibility_pad)
+    model, variables = small_model
+    scale = 32
+    img = rng.normal(size=(20, 45)).astype(np.float32)
+    padded = divisibility_pad(jnp.asarray(img), scale)
+    canvas = jnp.pad(padded, ((scale, scale), (scale, scale)))
+    shifts = [(0, 0), (5, 17), (31, 31), (17, 0)]
+    tops = jnp.asarray([t for t, _ in shifts])
+    lefts = jnp.asarray([l for _, l in shifts])
+    got = np.asarray(_fcn_shifts_chunk(model, variables, canvas, tops,
+                                       lefts, scale, len(shifts)))
+    pnp = np.asarray(padded)
+    for i, (top, left) in enumerate(shifts):
+        t = np.pad(pnp, ((top, scale - top), (left, scale - left)))
+        logits = fcn_apply(model, variables, jnp.asarray(t)[None, ..., None])
+        ref = np.asarray(jax.nn.softmax(logits, -1))[0, ..., 1]
+        np.testing.assert_allclose(got[i], ref, rtol=1e-5, atol=1e-6)
+
+
+def test_fcn_full_pipeline_smoke(small_model, rng):
+    model, variables = small_model
+    img = rng.normal(size=(20, 45)).astype(np.float32)
+    got = np.asarray(fcn_shift_saliency(model, variables, jnp.asarray(img),
+                                        scale=32, batch=256))
+    assert got.shape == (20, 45)
+    assert np.isfinite(got).all()
+    assert ((got >= 0) & (got <= 1)).all()
+
+
+def test_cnn_window_chunk_matches_crops(small_model, rng):
+    """Window gather + batched forward == per-crop forwards
+    (reference FlightlineConvolve semantics, cnn_pred_pipeline.py:32-58)."""
+    from srcfinder_tpu.detect.cnn_pipeline import (reference_pad,
+                                                   cnn_window_saliency)
+    model, variables = small_model
+    dim = 32
+    img = rng.normal(size=(5, 7)).astype(np.float32)
+    sal = np.asarray(cnn_window_saliency(model, variables, jnp.asarray(img),
+                                         dim=dim, batch=16))
+    padded = np.asarray(reference_pad(jnp.asarray(img), dim))
+    assert padded.shape == (5 + dim - 1, 7 + dim - 1)
+    for (r, c) in [(0, 0), (2, 3), (4, 6)]:
+        win = padded[r:r + dim, c:c + dim]
+        logits = model.apply(variables, jnp.asarray(win)[None, ..., None],
+                             train=False)
+        ref = np.asarray(jax.nn.softmax(logits, -1))[0, 1]
+        np.testing.assert_allclose(sal[r, c], ref, rtol=1e-5, atol=1e-6)
+
+
+def test_cnn_fast_mode_runs(small_model, rng):
+    from srcfinder_tpu.detect.cnn_pipeline import cnn_fast_saliency
+    model, variables = small_model
+    img = rng.normal(size=(6, 9)).astype(np.float32)
+    sal = np.asarray(cnn_fast_saliency(model, variables, jnp.asarray(img),
+                                       dim=64))
+    assert sal.shape == (6, 9)
+    assert np.isfinite(sal).all()
+    assert ((sal >= 0) & (sal <= 1)).all()
+
+
+def test_salience2detections(rng, tmp_path):
+    h, w = 40, 60
+    sal = np.zeros((h, w), np.float32)
+    cmf = np.zeros((h, w, 4), np.float32)
+    cmf[..., :3] = 5.0
+    # blob 1
+    sal[10:14, 10:14] = 0.9
+    cmf[11:13, 11:13, 3] = 800.0
+    # blob 2
+    sal[30:33, 40:44] = 0.7
+    cmf[31, 41, 3] = 1200.0
+    # nodata margin
+    cmf[:2, :, 0] = -9999
+
+    cmfmap = dict(proj="UTM", ulx=391000.0, uly=3786000.0, xps=3.0, yps=3.0,
+                  zone="11", hemi="North", rotation=0.0)
+    df = salience2detections(sal, cmf, 0.5, 250.0, "ang20200924t211102",
+                             cmfmap, str(tmp_path))
+    assert len(df) == 2
+    assert df.iloc[0]["detid"] == "ang20200924t211102-1"
+    assert df.iloc[0]["cmfmax"] == 800.0
+    assert df.iloc[1]["cmfmax"] == 1200.0
+    # georeferencing: lat/lon of the cmf max in a plausible range
+    assert 34.1 < df.iloc[0]["cmfmaxlat"] < 34.3
+    assert -119 < df.iloc[0]["cmfmaxlon"] < -117
+
+    csvf = save_detections(str(tmp_path / "out.xlsx"), df)
+    import pandas as pd
+    back = pd.read_csv(csvf)
+    assert "Candidate ID" in back.columns
+    assert len(back) == 2
+
+
+def test_filtdet(rng):
+    h, w = 80, 80
+    ch4 = np.zeros((h, w), np.float32)
+    # strong 5x5 plume (25 px >= minarea), the KDE density peak
+    ch4[20:25, 20:25] = 800.0
+    # weak isolated single pixel: KDE-weighted value falls below mfmin
+    ch4[60, 60] = 600.0
+    # very strong small (2x2) component: passes the KDE threshold, gets
+    # dropped as small (4 < minarea), then re-added since >= mfminsmall
+    ch4[70:72, 10:12] = 3000.0
+    nodata = np.zeros((h, w), bool)
+    detkde, detcomp = filtdet(ch4, nodata, minarea=9, mfmin=500, mfmax=1500,
+                              k=5, mfminsmall=1250)
+    assert detcomp[22, 22] > 0
+    assert detcomp[60, 60] == 0
+    assert detcomp[70, 10] > 0
+    assert detkde.min() >= 0 and detkde.max() <= 1
+    # labels sequential
+    labs = np.unique(detcomp)
+    assert labs[-1] == len(labs) - 1
+
+
+def test_kde_matches_scipy(rng):
+    from scipy.ndimage import gaussian_filter
+    img = rng.normal(size=(30, 40)).astype(np.float32) ** 2
+    got = np.asarray(kde(img, k=5))
+    sm = gaussian_filter(img, sigma=5, truncate=1)
+    smn = (sm - sm.min()) / (sm.max() - sm.min())
+    ref = img * smn
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_gaussian_downsample(rng):
+    img = np.abs(rng.normal(size=(60, 90))).astype(np.float32) * 100
+    img[:5, :5] = -9999.0
+    out = np.asarray(gaussian_downsample(img, src_res=5.0, dst_res=30.0))
+    assert out.shape == (10, 15)
+    assert (out[0, 0] == -9999.0)
+    # away from nodata, blur preserves the local mean roughly
+    assert abs(np.mean(out[3:, 3:]) - np.mean(img[20:, 20:])) < 20
+
+
+def test_preprocess():
+    x = jnp.asarray([-10.0, 0.0, 4000.0, 9000.0])
+    mean, std = norm_for_model("COVID_QC")
+    got = np.asarray(preprocess_ch4(x, mean, std))
+    np.testing.assert_allclose(got[0], got[1])      # clamped below
+    np.testing.assert_allclose(got[2], got[3])      # clamped above
+    np.testing.assert_allclose(got[1], (0 - mean) / std, rtol=1e-6)
+    assert norm_for_model("multi_64") == (115.0, 190.0)
+    with pytest.raises(KeyError):
+        norm_for_model("nope")
