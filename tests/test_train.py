@@ -1,0 +1,203 @@
+"""Training tests: SAM parity vs the reference torch implementation on a
+tiny model, weighted CE parity, schedule, dataset plumbing, and a tiny
+end-to-end experiment."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from srcfinder_tpu.train import (make_sam_train_step, make_inner_optimizer,
+                                 TrainState, weighted_cross_entropy,
+                                 sam_perturbation, step_lr, TiledDataset,
+                                 load_labels_csv, loss_weights_for,
+                                 augment_batch)
+
+torch = pytest.importorskip("torch")
+
+
+def test_weighted_ce_matches_torch(rng):
+    logits = rng.normal(size=(8, 2)).astype(np.float32)
+    labels = rng.integers(0, 2, 8)
+    w = np.array([1.0, 7.3], np.float32)
+    ref = torch.nn.CrossEntropyLoss(weight=torch.as_tensor(w))(
+        torch.as_tensor(logits), torch.as_tensor(labels)).item()
+    got = float(weighted_cross_entropy(jnp.asarray(logits),
+                                       jnp.asarray(labels), jnp.asarray(w)))
+    assert abs(got - ref) < 1e-5
+
+
+class _TorchSAM(torch.optim.Optimizer):
+    """Reference SAM semantics (davda54/sam) re-stated for the oracle:
+    first_step perturbs by rho-normalized (adaptive) gradients, second_step
+    restores and applies the base optimizer."""
+
+    def __init__(self, params, base_optimizer_cls, rho, adaptive, **kwargs):
+        defaults = dict(rho=rho, adaptive=adaptive, **kwargs)
+        super().__init__(params, defaults)
+        self.base_optimizer = base_optimizer_cls(self.param_groups, **kwargs)
+        self.param_groups = self.base_optimizer.param_groups
+        self.defaults.update(self.base_optimizer.defaults)
+
+    @torch.no_grad()
+    def _grad_norm(self):
+        shared = self.param_groups[0]["params"][0].device
+        return torch.norm(torch.stack([
+            ((torch.abs(p) if g["adaptive"] else 1.0) * p.grad)
+            .norm(p=2).to(shared)
+            for g in self.param_groups for p in g["params"]
+            if p.grad is not None]), p=2)
+
+    @torch.no_grad()
+    def first_step(self):
+        norm = self._grad_norm()
+        for g in self.param_groups:
+            scale = g["rho"] / (norm + 1e-12)
+            for p in g["params"]:
+                if p.grad is None:
+                    continue
+                self.state[p]["old_p"] = p.data.clone()
+                e_w = ((torch.pow(p, 2) if g["adaptive"] else 1.0)
+                       * p.grad * scale.to(p))
+                p.add_(e_w)
+        self.zero_grad()
+
+    @torch.no_grad()
+    def second_step(self):
+        for g in self.param_groups:
+            for p in g["params"]:
+                if p.grad is None:
+                    continue
+                p.data = self.state[p]["old_p"]
+        self.base_optimizer.step()
+        self.zero_grad()
+
+
+def test_sam_step_matches_torch(rng):
+    """One SAM-SGD step on a tiny linear classifier must match torch
+    (weights, momentum semantics, adaptive scaling)."""
+    import flax.linen as nn
+
+    din, dout, n = 5, 2, 16
+    W0 = rng.normal(size=(din, dout)).astype(np.float32)
+    b0 = rng.normal(size=(dout,)).astype(np.float32)
+    x = rng.normal(size=(n, din)).astype(np.float32)
+    y = rng.integers(0, dout, n)
+    wce = np.array([1.0, 3.0], np.float32)
+    lr, rho, wd, mom = 0.01, 0.5, 5e-4, 0.9
+
+    # ---- torch oracle ------------------------------------------------
+    lin = torch.nn.Linear(din, dout)
+    lin.weight.data = torch.as_tensor(W0.T.copy())
+    lin.bias.data = torch.as_tensor(b0.copy())
+    opt = _TorchSAM(lin.parameters(), torch.optim.SGD, rho=rho,
+                    adaptive=True, lr=lr, momentum=mom, weight_decay=wd)
+    lossf = torch.nn.CrossEntropyLoss(weight=torch.as_tensor(wce))
+    for _ in range(3):  # a few steps to exercise momentum
+        loss = lossf(lin(torch.as_tensor(x)), torch.as_tensor(y))
+        loss.backward()
+        opt.first_step()
+        lossf(lin(torch.as_tensor(x)), torch.as_tensor(y)).backward()
+        opt.second_step()
+    ref_W = lin.weight.detach().numpy().T
+    ref_b = lin.bias.detach().numpy()
+
+    # ---- ours ----------------------------------------------------------
+    params = {"kernel": jnp.asarray(W0), "bias": jnp.asarray(b0)}
+
+    def loss_fn(p, xx, yy):
+        logits = xx @ p["kernel"] + p["bias"]
+        return weighted_cross_entropy(logits, yy, jnp.asarray(wce))
+
+    optimizer = make_inner_optimizer(momentum=mom, weight_decay=wd)
+    opt_state = optimizer.init(params)
+    for _ in range(3):
+        grads = jax.grad(loss_fn)(params, jnp.asarray(x), jnp.asarray(y))
+        eps = sam_perturbation(params, grads, rho, adaptive=True)
+        adv = jax.tree.map(jnp.add, params, eps)
+        grads2 = jax.grad(loss_fn)(adv, jnp.asarray(x), jnp.asarray(y))
+        opt_state = opt_state._replace(
+            hyperparams={**opt_state.hyperparams, "learning_rate": lr})
+        updates, opt_state = optimizer.update(grads2, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["kernel"]), ref_W,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["bias"]), ref_b,
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_step_lr():
+    assert float(step_lr(1e-3, 100, 0)) == pytest.approx(1e-3)
+    assert float(step_lr(1e-3, 100, 29)) == pytest.approx(1e-3)
+    assert float(step_lr(1e-3, 100, 30)) == pytest.approx(2e-4)
+    assert float(step_lr(1e-3, 100, 60)) == pytest.approx(4e-5)
+    assert float(step_lr(1e-3, 100, 85)) == pytest.approx(8e-6)
+
+
+def _make_tile_campaign(tmp_path, rng, campaign="COVID_QC", n=8, size=40):
+    droot = tmp_path / "data"
+    cdir = droot / campaign / "tiles"
+    os.makedirs(cdir, exist_ok=True)
+    rows = []
+    for i in range(n):
+        lab = 1 if i % 3 == 0 else (0 if i % 3 == 1 else -1)
+        tile = np.abs(rng.normal(size=(4, size, size))) * 200
+        path = cdir / f"t{i}.npy"
+        np.save(path, tile.astype(np.float32))
+        rows.append((f"tiles/t{i}.npy", lab))
+    for name, sel in [("train.csv", rows), ("test.csv", rows[:4]),
+                      ("data_labels.csv", rows)]:
+        with open(droot / campaign / name, "w") as f:
+            f.write("path,label\n")
+            for p, l in sel:
+                f.write(f"{p},{l}\n")
+    return str(droot)
+
+
+def test_dataset_and_weights(tmp_path, rng):
+    droot = _make_tile_campaign(tmp_path, rng)
+    rows = load_labels_csv(os.path.join(droot, "COVID_QC", "train.csv"))
+    assert len(rows) == 8
+    w = loss_weights_for(rows)
+    assert w[0] == 1.0 and w[1] == pytest.approx(5 / 3)
+    ds = TiledDataset(os.path.join(droot, "COVID_QC"), rows,
+                      110.639, 183.9152, crop=32, augment="augB")
+    batches = list(ds.batches(4, shuffle=False))
+    assert len(batches) == 2
+    images, labels = batches[0]
+    assert images.shape == (4, 32, 32, 1)
+    assert labels.tolist() == [1, 0, 0, 1]
+
+
+def test_augment_batch(rng):
+    x = rng.normal(size=(4, 8, 8)).astype(np.float32)
+    assert np.array_equal(augment_batch(x, np.random.default_rng(0), "augA"), x)
+    b = augment_batch(x, np.random.default_rng(0), "augB")
+    assert b.shape == x.shape
+    c = augment_batch(x, np.random.default_rng(0), "augC")
+    assert np.isfinite(c).all()
+
+
+def test_tiny_experiment(tmp_path, rng):
+    """Two epochs on a tiny crop — the full harness runs end to end and
+    writes loss CSVs + checkpoints + metrics."""
+    from srcfinder_tpu.train import TrainConfig, train_experiment
+    droot = _make_tile_campaign(tmp_path, rng, size=40)
+    cfg = TrainConfig(droot, "COVID_QC", lr=1e-3, augment="augA", crop=32,
+                      epochs=2, outroot=str(tmp_path / "out"),
+                      use_sam=True, batch_size=4)
+    state, outdir, metrics = train_experiment(cfg, progress=lambda *a: None)
+    assert os.path.isfile(os.path.join(outdir, "batch_losses.csv"))
+    assert os.path.isfile(os.path.join(outdir, "metrics.json"))
+    assert 0 <= metrics["f1"] <= 1
+    finals = [f for f in os.listdir(os.path.join(outdir, "weights"))
+              if f.startswith("final")]
+    assert finals
+    from srcfinder_tpu.train import load_checkpoint
+    tree = load_checkpoint(os.path.join(outdir, "weights", finals[0]))
+    assert "params" in tree and "batch_stats" in tree
