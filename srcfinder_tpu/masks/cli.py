@@ -1,0 +1,126 @@
+"""CLI: batch spectrometer mask generation
+(reference: spectrometer_masks/masks_sds.py:62-107 argparse surface).
+
+usage: srcfinder-masks --txt FLIGHTS.txt --inpath DIR --outpath DIR
+       [-T THR] [-dark THR] [-C THR] [-B 150m] [-M 150m] [-A PX] [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+SCRIPT_VERSION = "1.0.0"
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="Flare/cloud/specular/dark masks for AVIRIS-NG "
+                    f"radiance files. v{SCRIPT_VERSION}",
+        add_help=False, allow_abbrev=False)
+    p.add_argument("--txt", type=str, required=True,
+                   help="Text file listing radiance files to batch process")
+    p.add_argument("--inpath", type=str, required=True,
+                   help="Path containing orthocorrected radiance files")
+    p.add_argument("--outpath", type=str, required=True,
+                   help="Path to write outputs to")
+    p.add_argument("-T", "--saturationthreshold", type=float, default=None)
+    p.add_argument("-dark", "--dark_threshold", type=float, default=0.104)
+    p.add_argument("-C", "--cldthreshold", type=float, nargs=1,
+                   default=[15.0])
+    p.add_argument("-W", "--saturationwindow", type=float, nargs=2,
+                   metavar=("LOW", "HIGH"), default=None)
+    p.add_argument("-D", "--cldbands", type=float, nargs=2, default=None)
+    p.add_argument("-B", "--cldbfr", type=str, default="150m")
+    p.add_argument("-M", "--maskgrowradius", type=str, default="150m")
+    p.add_argument("-A", "--mingrowarea", type=int, nargs="?", const=5,
+                   default=None)
+    p.add_argument("--saturation-processing-block-length", type=int,
+                   default=500, dest="block_step")
+    p.add_argument("--visible-mask-growing-threshold", type=float,
+                   default=9.0, dest="vis_thr")
+    p.add_argument("-o", "--overwrite", action="store_true")
+    p.add_argument("-h", "--help", action="help")
+    return p
+
+
+def mask_output_name(f_txt: str) -> str:
+    """xxxYYYYMMDDtHHMMSS_rdn_v2x1_img -> xxxYYYYMMDDtHHMMSS_msk_v2x1_img
+    (reference: masks_sds.py:380-389)."""
+    parts = f_txt.split("_")
+    if len(parts) >= 3 and parts[1] == "rdn":
+        return "_".join([parts[0], "msk"] + parts[2:])
+    return f_txt + "_msk"
+
+
+def main(argv=None):
+    import numpy as np
+    from ..core import envi as envi_io
+    from .sds import (MaskParams, masks_for_cube, get_radius_in_pixels)
+
+    args = build_parser().parse_args(argv)
+    print("Arguments:")
+    print(args)
+
+    with open(args.txt) as fd:
+        files = fd.read().splitlines()
+
+    for f_txt in files:
+        if not f_txt.strip():
+            continue
+        print("Processing flight", f_txt)
+        rdn = envi_io.open_envi(os.path.join(args.inpath, f_txt + ".hdr"))
+        wavelengths = np.array(rdn.bands.centers)
+        # band indices resolved from wavelengths: on real AVIRIS-NG these
+        # land on the reference's hardcoded bands (cloud 15/60/175 =
+        # 450/670/1250 nm, dark 352 = 2139 nm, specular 25 = ~505 nm)
+        nearest = lambda nm: int(np.argmin(np.abs(wavelengths - nm)))
+        cld = (tuple(nearest(nm) for nm in (450., 670., 1250.))
+               if args.cldbands is None else
+               (nearest(args.cldbands[0]), nearest(670.),
+                nearest(args.cldbands[1])))
+        params = MaskParams(
+            saturation_threshold=(args.saturationthreshold
+                                  if args.saturationthreshold is not None
+                                  else 6.0),
+            saturation_window=(tuple(args.saturationwindow)
+                               if args.saturationwindow else (1945., 2485.)),
+            cld_threshold=args.cldthreshold[0],
+            cld_bands=cld,
+            dark_band=nearest(2139.),
+            spec_band=nearest(505.),
+            dark_threshold=args.dark_threshold,
+            vis_grow_threshold=args.vis_thr)
+        grow_px = (get_radius_in_pixels(args.maskgrowradius, rdn.metadata)
+                   if args.maskgrowradius else None)
+        cld_px = get_radius_in_pixels(args.cldbfr, rdn.metadata)
+        bip = rdn.open_memmap(interleave="bip")
+        out = masks_for_cube(
+            lambda r0, r1: bip[r0:r1], rdn.nrows, rdn.ncols, wavelengths,
+            params=params, maskgrowradius_px=grow_px,
+            mingrowarea=args.mingrowarea, cldbfr_px=cld_px,
+            block_step=args.block_step,
+            nodata_row0=np.asarray(bip[..., 0]) == -9999)
+
+        meta = {
+            "description": "Flare and cloud mask (srcfinder_tpu).",
+            "band names": ["Cloud mask (dimensionless)",
+                           "Specular mask (dimensionless)",
+                           "Flare mask (dimensionless)",
+                           "Dark mask (dimensionless)"],
+            "data ignore value": -9999,
+        }
+        if "map info" in rdn.metadata:
+            meta["map info"] = rdn.metadata["map info"]
+        outname = mask_output_name(f_txt)
+        envi_io.save_envi(os.path.join(args.outpath, outname + ".hdr"), out,
+                          metadata=meta, interleave="bil",
+                          force=args.overwrite or True)
+        print("Generated " + outname)
+    print("Completed all scenes")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
