@@ -1,0 +1,206 @@
+"""Wind math: distance matrices, nearest-point wind statistics, time
+bucketing (reference: msf_flow/wind_processor/windspeed.py).
+
+The full-grid distance + nearest-point selection (the per-plume hot spot,
+~1.9M HRRR cells) runs as a jitted spherical-law-of-cosines kernel with
+``jax.lax.top_k`` instead of the reference's dense matrix + host argsort
+(windspeed.py:142-160).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .windgrid import read_wind_grid
+
+__all__ = ["distance_spherical", "distance_index", "nearest_points",
+           "wind_mnstd", "plumetime_format", "nearst_hm", "read_plumes",
+           "gather_plumes"]
+
+_EQ_RADIUS = 6378.137            # WGS-84 equatorial radius (km)
+_POLAR_RADIUS = 6356.7523
+_MEAN_RADIUS = (2 * _EQ_RADIUS + _POLAR_RADIUS) / 3
+
+
+def distance_spherical(x, y, distance_type: str = "haversine"):
+    """Pairwise distances in km between (n1, 2) and (n2, 2) [lon, lat]
+    coordinate sets (reference: windspeed.py:22-118)."""
+    x = np.atleast_2d(np.asarray(x, np.float64))
+    y = np.atleast_2d(np.asarray(y, np.float64))
+    if x.shape[1] != y.shape[1]:
+        raise ValueError("locations must have same number of dimensions")
+    if distance_type == "euclid":
+        return np.sqrt(((x[:, None, :] - y[None, :, :]) ** 2).sum(-1))
+    xr, yr = np.radians(x), np.radians(y)
+    if distance_type == "sphericalCosines":
+        cosang = (np.sin(xr[:, 1:2]) @ np.sin(yr[:, 1:2]).T
+                  + (np.cos(xr[:, 1:2]) @ np.cos(yr[:, 1:2]).T)
+                  * np.cos(xr[:, 0:1] - yr[:, 0:1].T))
+        return _EQ_RADIUS * np.arccos(np.clip(cosang, -1, 1))
+    if distance_type == "haversine":
+        dlat = xr[:, 1:2] - yr[:, 1:2].T
+        dlon = xr[:, 0:1] - yr[:, 0:1].T
+        a = (np.sin(dlat / 2) ** 2
+             + np.cos(xr[:, 1:2]) * np.cos(yr[:, 1:2].T) * np.sin(dlon / 2) ** 2)
+        return _MEAN_RADIUS * 2 * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
+    raise ValueError(f"unknown distance_type {distance_type}")
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _nearest_k(plume_lonlat, lons, lats, k: int):
+    """Spherical-cosines distances plume -> all grid cells + top-k nearest
+    (jitted; replaces the reference's full-matrix argsort)."""
+    lon0 = jnp.radians(plume_lonlat[0])
+    lat0 = jnp.radians(plume_lonlat[1])
+    lon = jnp.radians(lons)
+    lat = jnp.radians(lats)
+    cosang = (jnp.sin(lat0) * jnp.sin(lat)
+              + jnp.cos(lat0) * jnp.cos(lat) * jnp.cos(lon0 - lon))
+    d = _EQ_RADIUS * jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
+    neg, idx = jax.lax.top_k(-d, k)
+    return -neg, idx
+
+
+def distance_index(x, y, indx_type: str = "min", dtype: str = "euclid"):
+    """(index, distance, sorted [index, dist] array) of nearest/farthest
+    point (reference: windspeed.py:122-168). Distances in km for
+    'spherical', degrees-euclid otherwise."""
+    x = np.atleast_2d(np.asarray(x, np.float64))
+    y = np.atleast_2d(np.asarray(y, np.float64))
+    if dtype == "spherical":
+        h = distance_spherical(x, y, "sphericalCosines").T[:, 0]
+    else:
+        h = np.sqrt(((y - x) ** 2).sum(axis=1))
+    order = np.argsort(h)
+    dist_index = np.c_[order.astype(np.float64), h[order]]
+    if indx_type == "min":
+        return dist_index[0, 0], dist_index[0, 1], dist_index
+    return dist_index[-1, 0], dist_index[-1, 1], dist_index
+
+
+def nearest_points(plume_lonlat, grid, k: int):
+    """Distances/indices of the k nearest grid cells (device top-k)."""
+    d, idx = _nearest_k(jnp.asarray(np.asarray(plume_lonlat, np.float32)),
+                        jnp.asarray(grid.lon.ravel(order="F")),
+                        jnp.asarray(grid.lat.ravel(order="F")), k)
+    return np.asarray(d), np.asarray(idx)
+
+
+def wind_mnstd(npoints: int, plumeloc, files, alt: int = 10, logger=None):
+    """Mean/std wind speed of the nearest grid points across files
+    (reference: windspeed.py:170-333; aggregation cases preserved):
+
+    1. npoints=1, 1 file  -> nearest-point speed, std 0
+    2. npoints=1, >1 file -> mean/std over files' nearest points
+    3. npoints>1, 1 file  -> mean/std over npoints of that file
+    4. npoints>1, >1 file -> mean/std over all npoints x files
+
+    Returns (mean, std, min_index, min_dist, per_file (n,2),
+    [(file, [Y,M,D,h,m,s,us]), ...]).
+    """
+    tfiles = len(files)
+    wind_compute = np.zeros((tfiles, 2))
+    grand = np.zeros((npoints, tfiles))
+    fdates = [0] * tfiles
+    mn_idx = mn_dist = None
+    for i, path in enumerate(files):
+        grid = read_wind_grid(path, alt=alt)
+        tm = grid.valid_date
+        fdates[i] = [path, [tm.year, tm.month, tm.day, tm.hour, tm.minute,
+                            tm.second, tm.microsecond]]
+        speed_grid = np.sqrt(grid.u ** 2 + grid.v ** 2)
+        speeds = speed_grid.ravel(order="F")
+        d, idx = nearest_points(plumeloc, grid, max(npoints, 1))
+        mn_idx, mn_dist = int(idx[0]), float(d[0])
+        sel = speeds[idx[:npoints]]
+        wind_compute[i] = [sel.mean(), sel.std()]
+        grand[:, i] = sel
+    grand_flat = grand.ravel(order="F")
+    if tfiles == 1:
+        mean, std = wind_compute[0]
+        if npoints == 1:
+            std = 0.0
+        return mean, std, mn_idx, mn_dist, wind_compute, fdates
+    return (grand_flat.mean(), grand_flat.std(), mn_idx, mn_dist,
+            wind_compute, fdates)
+
+
+def plumetime_format(utc_time, utc_format: str):
+    """UTC time parsing (reference: windspeed.py:335-372). Accepts
+    '8/21/2018 18:49:59 UTC' (utcstring) or 'YYYYMMDDHHMMSS'
+    (numericstring). Returns ([Y, M, D, h, m, s], 'YYYYMMDDHHMMSS')."""
+    f = utc_format.lower()
+    if f == "utcstring":
+        dt = _dt.datetime.strptime(str(utc_time).replace(" UTC", ""),
+                                   "%m/%d/%Y %H:%M:%S")
+    elif f == "numericstring":
+        dt = _dt.datetime.strptime(str(utc_time), "%Y%m%d%H%M%S")
+    else:
+        raise ValueError("utcFormat must be utcstring or numericstring")
+    return ([dt.year, dt.month, dt.day, dt.hour, dt.minute, dt.second],
+            dt.strftime("%Y%m%d%H%M%S"))
+
+
+def _round15(dt: _dt.datetime) -> _dt.datetime:
+    dt = dt + _dt.timedelta(minutes=7.5)
+    return dt - _dt.timedelta(minutes=dt.minute % 15, seconds=dt.second,
+                              microseconds=dt.microsecond)
+
+
+def nearst_hm(utc_time, bounding_hours: int, bounding_15minutes: int,
+              utc_format: str):
+    """Bounding HRRR hour strings and RTMA 15-minute strings around a
+    plume time (reference: windspeed.py:374-504). Strings are
+    'YYYYMMDDHHMM'; the center time comes LAST in each list (matching the
+    reference's below/above/median fill order)."""
+    ints, _ = plumetime_format(utc_time, utc_format)
+    year_, month_, day_, hour_, minute_, second_ = ints
+
+    hour_file = []
+    if bounding_hours > 0:
+        given = _dt.datetime(year_, month_, day_, hour_)
+        for i in range(1, bounding_hours + 1):
+            hour_file.append((given - _dt.timedelta(hours=i))
+                             .strftime("%Y%m%d%H%M"))
+            hour_file.append((given + _dt.timedelta(hours=i))
+                             .strftime("%Y%m%d%H%M"))
+        hour_file.append(given.strftime("%Y%m%d%H%M"))
+    elif bounding_hours == 0:
+        hour_file = [_dt.datetime(year_, month_, day_, hour_)
+                     .strftime("%Y%m%d%H%M")]
+
+    minute_files = []
+    if bounding_15minutes > 0:
+        given = _dt.datetime(year_, month_, day_, hour_, minute_, second_)
+        for i in range(1, bounding_15minutes + 1):
+            minute_files.append(
+                _round15(given - _dt.timedelta(minutes=15 * i))
+                .strftime("%Y%m%d%H%M"))
+            minute_files.append(
+                _round15(given + _dt.timedelta(minutes=15 * i))
+                .strftime("%Y%m%d%H%M"))
+        minute_files.append(_round15(given).strftime("%Y%m%d%H%M"))
+    elif bounding_15minutes == 0:
+        given = _dt.datetime(year_, month_, day_, hour_, minute_, second_)
+        minute_files = [_round15(given).strftime("%Y%m%d%H%M")]
+
+    return hour_file, minute_files
+
+
+def read_plumes(filename):
+    """CSV -> list of dict rows (reference: windspeed.py:506-514)."""
+    import csv
+    with open(filename, "rt") as fin:
+        return list(csv.DictReader(fin, skipinitialspace=True))
+
+
+def gather_plumes(filelist):
+    """(reference: windspeed.py:516-537)"""
+    import itertools
+    return list(itertools.chain.from_iterable(
+        read_plumes(f) for f in filelist))

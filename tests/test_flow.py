@@ -1,0 +1,524 @@
+"""Flow-layer tests: wind grids + GRIB2 decode, distances, wind stats,
+time bucketing, emissions, clustering, dedup, persistence, inversion,
+harvester, dir watcher, job queue, and the msf_flow orchestrator e2e."""
+
+import datetime as dt
+import os
+import struct
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from srcfinder_tpu import flow
+
+
+# ---------------------------------------------------------------- helpers
+def make_grid(rng, ny=8, nx=10, u0=3.0, v0=4.0,
+              date=dt.datetime(2020, 9, 24, 21, 0)):
+    lat = np.linspace(34.0, 35.0, ny)[:, None] * np.ones((1, nx))
+    lon = np.linspace(-119.0, -118.0, nx)[None, :] * np.ones((ny, 1))
+    u = np.full((ny, nx), u0) + rng.normal(0, 0.1, (ny, nx))
+    v = np.full((ny, nx), v0) + rng.normal(0, 0.1, (ny, nx))
+    gust = np.abs(u) + 1
+    return flow.WindGrid(lat, lon, u, v, gust, date)
+
+
+def write_grid(tmp_path, name, grid, alt=10):
+    path = str(tmp_path / name)
+    flow.write_wind_grid_npz(path, grid, alt=alt)
+    return path + ".npz" if not path.endswith(".npz") else path
+
+
+# ------------------------------------------------------------------ tests
+def test_npz_roundtrip(tmp_path, rng):
+    g = make_grid(rng)
+    p = str(tmp_path / "w.npz")
+    flow.write_wind_grid_npz(p, g)
+    back = flow.read_wind_grid(p)
+    np.testing.assert_allclose(back.u, g.u)
+    assert back.valid_date == g.valid_date
+    with pytest.raises(ValueError):
+        flow.read_wind_grid(p, alt=50)
+
+
+def _encode_grib2_simple(path, grid):
+    """Tiny GRIB2 writer (template 3.0 + 5.0) for decoder testing."""
+    ny, nx = grid.u.shape
+
+    def section(num, body):
+        length = 4 + 1 + len(body)
+        return struct.pack(">IB", length, num) + body
+
+    def field_sections(number, values):
+        vals = values.ravel()
+        vmin = float(vals.min())
+        scaled = np.round((vals - vmin)).astype(np.int64)
+        nbits = max(int(scaled.max()).bit_length(), 1)
+        # sec4: product definition (template 4.0)
+        body4 = bytearray(30)
+        body4[0:4] = struct.pack(">I", 0)  # placeholder, fixed later
+        sec4 = bytearray(struct.pack(">IBHH", 34, 4, 0, 0))
+        sec4 += bytes([0, 2, number]) + bytes(22)
+        sec4[0:4] = struct.pack(">I", len(sec4))
+        # offsets: body[9]=category, body[10]=number -> indices 9,10 of FULL
+        sec4 = bytearray(sec4)
+        sec4[9] = 2          # category
+        sec4[10] = number
+        sec4[22] = 103       # fixed surface type
+        # sec5: simple packing R=vmin, E=0, D=0
+        sec5 = (struct.pack(">IBIH", 21, 5, len(vals), 0)
+                + struct.pack(">fhhBB", vmin, 0, 0, nbits, 0))
+        # sec6: no bitmap
+        sec6 = struct.pack(">IBB", 6, 6, 255)
+        # sec7: packed data
+        bits = np.unpackbits(
+            scaled.astype(">u8").view(np.uint8).reshape(-1, 8),
+            axis=1)[:, -nbits:].ravel()
+        pad = (-len(bits)) % 8
+        bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+        data = np.packbits(bits).tobytes()
+        sec7 = struct.pack(">IB", 5 + len(data), 7) + data
+        return bytes(sec4) + sec5 + sec6 + sec7
+
+    # sec1: identification
+    d = grid.valid_date
+    sec1 = (struct.pack(">IB", 21, 1) + bytes(7)
+            + struct.pack(">H5B", d.year, d.month, d.day, d.hour, d.minute,
+                          d.second) + bytes(2))
+    # sec3: grid definition template 3.0
+    body3 = bytearray(72 - 5)
+    sec3 = bytearray(struct.pack(">IB", 72, 3))
+    sec3 += bytes(72 - 5)
+    sec3[12:14] = struct.pack(">H", 0)
+    sec3[30:34] = struct.pack(">I", nx)
+    sec3[34:38] = struct.pack(">I", ny)
+    sec3[46:50] = struct.pack(">i", int(grid.lat[0, 0] * 1e6))
+    sec3[50:54] = struct.pack(">i", int(grid.lon[0, 0] * 1e6))
+    sec3[55:59] = struct.pack(">i", int(grid.lat[-1, 0] * 1e6))
+    sec3[59:63] = struct.pack(">i", int(grid.lon[0, -1] * 1e6))
+
+    payload = (sec1 + bytes(sec3)
+               + field_sections(2, grid.u)
+               + field_sections(3, grid.v)
+               + field_sections(22, grid.gust)
+               + b"7777")
+    total = 16 + len(payload)
+    msg = (b"GRIB" + bytes([0, 0, 0, 2]) + struct.pack(">Q", total)
+           + payload)
+    with open(path, "wb") as f:
+        f.write(msg)
+
+
+def test_grib2_simple_decode(tmp_path, rng):
+    g = make_grid(rng, u0=5.0, v0=2.0)
+    # integer-valued fields so simple packing with E=D=0 is lossless
+    g = flow.WindGrid(g.lat, g.lon, np.round(g.u * 10) / 10 * 0 + 5.0,
+                      np.round(g.v) * 0 + 2.0, g.gust * 0 + 7.0,
+                      g.valid_date)
+    p = str(tmp_path / "hrrr.2020092421.wrfsfcf00.grib2")
+    _encode_grib2_simple(p, g)
+    back = flow.read_grib2_simple(p)
+    np.testing.assert_allclose(back.u, g.u)
+    np.testing.assert_allclose(back.v, g.v)
+    np.testing.assert_allclose(back.gust, g.gust)
+    assert back.valid_date == g.valid_date
+    np.testing.assert_allclose(back.lat[0, 0], g.lat[0, 0], atol=1e-5)
+
+
+def test_distance_spherical_matches_reference_example():
+    # reference docstring example (windspeed.py:35-41), euclid
+    x = [[0, 0], [5, 0], [5, 5]]
+    y = [[1, 1], [5, 5]]
+    h = flow.distance_spherical(x, y, "euclid")
+    np.testing.assert_allclose(
+        h, [[1.4142, 7.0711], [4.1231, 5.0], [5.6569, 0]], atol=1e-4)
+
+
+def test_distance_haversine_vs_gcdist():
+    from srcfinder_tpu.core.geo import gcdist
+    h = flow.distance_spherical([[-118.0, 34.0]], [[-118.5, 34.5]],
+                                "haversine")
+    ref_m = gcdist(-118.0, 34.0, -118.5, 34.5)
+    assert abs(h[0, 0] * 1000 - ref_m) / ref_m < 2e-3  # radius convention
+
+
+def test_distance_index():
+    x = [[-118.0, 34.0]]
+    y = [[-118.0, 34.0], [-118.5, 34.5], [-117.0, 33.0]]
+    idx, d, table = flow.distance_index(x, y, "min", "spherical")
+    assert idx == 0 and d < 1e-3
+    assert table.shape == (3, 2)
+    idx2, d2, _ = flow.distance_index(x, y, "max", "spherical")
+    assert idx2 == 2
+
+
+def test_wind_mnstd_cases(tmp_path, rng):
+    g1 = make_grid(rng, u0=3.0, v0=4.0)   # speed ~5
+    g2 = make_grid(rng, u0=6.0, v0=8.0)   # speed ~10
+    p1 = write_grid(tmp_path, "w1.npz", g1)
+    p2 = write_grid(tmp_path, "w2.npz", g2)
+    loc = (-118.5, 34.5)
+    # case 3: npoints>1, 1 file
+    mean, std, mnidx, mndist, per_file, dates = flow.wind_mnstd(
+        4, loc, [p1])
+    assert abs(mean - 5.0) < 0.3
+    assert std >= 0 and mndist < 20
+    # case 1: npoints=1, 1 file -> std exactly 0
+    _, std1, _, _, _, _ = flow.wind_mnstd(1, loc, [p1])
+    assert std1 == 0
+    # case 4: npoints>1, >1 files: mean over both grids
+    mean4, std4, _, _, per_file4, _ = flow.wind_mnstd(4, loc, [p1, p2])
+    assert abs(mean4 - 7.5) < 0.5
+    assert per_file4.shape == (2, 2)
+    assert dates[0][1][0] == 2020
+
+
+def test_nearst_hm():
+    hr, mn = flow.nearst_hm("20200924t211059".replace("t", ""), 1, -1,
+                            "numericstring")
+    assert mn == []
+    assert hr == ["202009242000", "202009242200", "202009242100"]
+    hr0, mn0 = flow.nearst_hm("20200924211059", -1, 0, "numericstring")
+    assert hr0 == []
+    assert mn0 == ["202009242115"]  # 21:10:59 rounds to 21:15
+    _, mn1 = flow.nearst_hm("20200924211059", -1, 1, "numericstring")
+    assert mn1 == ["202009242100", "202009242130", "202009242115"]
+    # utcstring format
+    hr2, _ = flow.nearst_hm("9/24/2020 21:10:59 UTC", 0, -1, "utcstring")
+    assert hr2 == ["202009242100"]
+
+
+def test_wind_type():
+    wt = flow.WindType("/data/winds/hrrr")
+    assert wt.is_hrrr() and wt.altitudes() == [10, 80]
+    wt2 = flow.WindType("rtma")
+    assert wt2.is_rtma() and wt2.altitudes() == [10]
+    assert flow.WindType("foo").type_as_str() == "UNKNOWN"
+
+
+def test_compute_wind_stats_and_emission(tmp_path, rng):
+    # lay out hrrr files for the 3 bracketing hours
+    winds = tmp_path / "winds" / "hrrr"
+    for hh, speed in [("20", (3.0, 4.0)), ("21", (3.0, 4.0)),
+                      ("22", (3.0, 4.0))]:
+        d = winds / "20200924"
+        os.makedirs(d, exist_ok=True)
+        g = make_grid(rng, u0=speed[0], v0=speed[1])
+        flow.write_wind_grid_npz(
+            str(d / f"hrrr.20200924{hh}.wrfsfcf00.npz"), g)
+
+    plume = {
+        "Candidate ID": "ang20200924t211102-1",
+        "Plume Latitude (deg)": "34.5",
+        "Plume Longitude (deg)": "-118.5",
+        "AvgIMEdivFetch20 (kg/m)": "0.02",
+        "StdIMEdivFetch20 (kg/m)": "0.004",
+        "Aspect ratio20": "0.5",
+    }
+    stats = flow.compute_wind_stats(plume, str(winds), ext=".npz")
+    mean_key = flow.get_mean_wind_key("HRRR", 10, 10, 3)
+    assert mean_key in stats
+    assert abs(stats[mean_key] - 5.0) < 0.5
+    plume.update(stats)
+
+    em = flow.compute_emission_rate(plume, "HRRR")
+    er_key = "Emission Rate (kg/hr) [HRRR 10 m]"
+    assert abs(em[er_key] - 0.02 * stats[mean_key] * 3600) < 1e-9
+    assert em["Aspect Ratio Flag (0=valid, 1=invalid)"] == 0
+    assert em["Emission Uncertainty (kg/hr) [HRRR 10 m]"] > 0
+    # invalid aspect ratio flags
+    plume2 = dict(plume, **{"Aspect ratio20": "1.5"})
+    em2 = flow.compute_emission_rate(plume2, "HRRR")
+    assert em2["Aspect Ratio Flag (0=valid, 1=invalid)"] == 1
+
+
+def test_cluster(rng):
+    pts = np.array([[0, 0], [10, 0], [1000, 1000], [12, 3], [1002, 998]])
+    mapping, clusters = flow.cluster(pts, radius=100)
+    assert mapping[0] == mapping[1] == mapping[3] == "A00000001"
+    assert mapping[2] == mapping[4] == "A00000002"
+    assert len(clusters) == 2
+
+
+def test_cluster_plume_list(tmp_path):
+    rows = [
+        {"Candidate ID": "c1", "Plume Latitude (deg)": "34.0",
+         "Plume Longitude (deg)": "-118.0"},
+        {"Candidate ID": "c2", "Plume Latitude (deg)": "34.0001",
+         "Plume Longitude (deg)": "-118.0001"},
+        {"Candidate ID": "c3", "Plume Latitude (deg)": "35.0",
+         "Plume Longitude (deg)": "-117.0"},
+        {"Candidate ID": "c4", "Plume Latitude (deg)": "-9999",
+         "Plume Longitude (deg)": "-9999"},
+    ]
+    inp = tmp_path / "p.csv"
+    pd.DataFrame(rows).to_csv(inp, index=False)
+    out = flow.cluster_plume_list(str(inp), str(tmp_path / "o.csv"),
+                                  radius=150)
+    assert len(out) == 3  # fill row dropped
+    assert out[0]["Source ID"] == out[1]["Source ID"]
+    assert out[2]["Source ID"] != out[0]["Source ID"]
+
+
+def test_teale_albers_sanity():
+    # EPSG:3310 well-known anchor: the projection origin (-120, 0) maps to
+    # (0, -4000000)
+    x, y = flow.teale_albers(0.0, -120.0)
+    assert abs(x - 0) < 1e-6
+    assert abs(y - (-4000000.0)) < 1e-6
+    # 150 m apart stays ~150 m in an equal-area projection at CA latitudes
+    x1, y1 = flow.teale_albers(36.0, -120.0)
+    x2, y2 = flow.teale_albers(36.0 + 150 / 111320.0 / np.cos(0), -120.0)
+    d = np.hypot(x2 - x1, y2 - y1)
+    assert abs(d - 150 * 1.0) < 2.0
+
+
+def test_circle_overlap():
+    assert flow.circle_overlap_fraction(0.0) == pytest.approx(1.0)
+    assert flow.circle_overlap_fraction(300.0) == 0.0
+    assert flow.circle_overlap_fraction(400.0) == 0.0
+    half = flow.circle_overlap_fraction(150.0)
+    assert 0.3 < half < 0.5  # lens fraction at d=r is ~0.391
+
+
+def test_remove_duplicate_plumes():
+    df = pd.DataFrame({
+        "Line name": ["l1"] * 3 + ["l2"],
+        "Candidate ID": ["ang-01", "ang-02", "ang-03", "ang-04"],
+        "Source ID": ["S1", "S2", "S3", "S4"],
+        "Plume Latitude (deg)": [36.0, 36.0001, 36.5, 36.0],
+        "Plume Longitude (deg)": [-120.0, -120.0001, -120.5, -120.0],
+        "Emission Rate (kg/hr) [HRRR 10 m]": [100.0, 50.0, 70.0, 30.0],
+    })
+    out = flow.remove_duplicate_plumes(df)
+    # plumes 0/1 overlap (same spot): lower-flux one dropped;
+    # plume 2 far away kept; plume 3 is a different line group
+    cids = set(out["Candidate ID"])
+    assert "ang-01" in cids
+    assert "ang-02" not in cids
+    assert "ang-03" in cids
+    assert "ang-04" in cids
+
+
+def test_point_in_polygon_and_persistence(tmp_path):
+    square = [np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                       float)]
+    assert flow.point_in_polygon(5, 5, square)
+    assert not flow.point_in_polygon(15, 5, square)
+    # polygon with a hole
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], float)
+    assert not flow.point_in_polygon(5, 5, [square[0], hole])
+
+    df = pd.DataFrame({
+        "Source identifier": ["A1", "A1", "A2", "A3"],
+        "Plume Latitude (deg)": [5.0, 5.0, 5.0, 50.0],
+        "Plume Longitude (deg)": [5.0, 5.0, 9.0, 50.0],
+    })
+    out = flow.source_persistence(df, ["fl1", "fl2"],
+                                  [square, square])
+    out = out.set_index("Source identifier")
+    assert out.loc["A1", "observed.plumes"] == 2
+    assert out.loc["A1", "total.overflights"] == 2
+    assert out.loc["A1", "source.Persistence"] == 1.0
+    assert np.isnan(out.loc["A3", "source.Persistence"])
+
+
+def test_shapefile_reader(tmp_path):
+    """Write a minimal polygon shapefile by hand and read it back."""
+    pts = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    content = (struct.pack("<i", 5)
+               + struct.pack("<4d", 0, 0, 10, 10)
+               + struct.pack("<ii", 1, len(pts))
+               + struct.pack("<i", 0)
+               + pts.astype("<f8").tobytes())
+    rec = struct.pack(">ii", 1, len(content) // 2) + content
+    flen = (100 + len(rec)) // 2
+    header = (struct.pack(">i", 9994) + bytes(20) + struct.pack(">i", flen)
+              + struct.pack("<ii", 1000, 5) + struct.pack("<8d", 0, 0, 10,
+                                                          10, 0, 0, 0, 0))
+    shp = tmp_path / "fl.shp"
+    shp.write_bytes(header + rec)
+    polys = flow.read_shapefile_polygons(str(shp))
+    assert len(polys) == 1
+    np.testing.assert_allclose(polys[0][0], pts)
+
+
+def test_inversion(rng):
+    import jax
+    n, m = 50, 4
+    H = np.abs(rng.normal(size=(n, m)))
+    x_true = np.array([10.0, 0.0, 5.0, 2.0])
+    y = H @ x_true + 1860.0
+    x_hat = np.asarray(flow.ols_inversion(H, y))
+    np.testing.assert_allclose(x_hat, x_true, atol=1e-3)
+
+    x_a = np.zeros(m)
+    # weak prior, small obs noise -> near the OLS solution (kept
+    # moderate: f32 Cholesky of the 50x50 K matrix)
+    S_a = np.eye(m) * 1e2
+    S_o = np.eye(n) * 1e-2
+    x_b = np.asarray(flow.bayesian_inversion(H, y - 1860.0, x_a, S_a, S_o))
+    np.testing.assert_allclose(x_b, x_true, atol=0.1)
+
+    bg = flow.background_percentile([1.0, 2.0, 100.0, 3.0],
+                                    ["t1", "t1", "t1", "t2"], q=5.0)
+    assert bg["t2"] == 3.0
+    assert bg["t1"] < 2.0
+
+
+def test_harvester(tmp_path):
+    conf = {"url_template": "http://example.com/%Y%m%d/file_%H.grib2",
+            "local_path_template": "%Y%m%d/file_%H.grib2",
+            "time_res": "1h"}
+    s, e = flow.set_date_range({"start_date": "20200924",
+                                "num_days": 1})
+    assert s.day == 24 and e.day == 24 and e.hour == 23
+    with pytest.raises(ValueError):
+        flow.set_date_range({"start_date": "20200925",
+                             "end_date": "20200924"})
+    paths = list(flow.paths_generator(s, e, str(tmp_path), conf))
+    assert len(paths) == 24
+    assert paths[0][0] == "http://example.com/20200924/file_00.grib2"
+
+    fetched = []
+
+    def fake_fetch(url, local):
+        fetched.append(url)
+        with open(local, "w") as f:
+            f.write("x")
+
+    done, failed = flow.harvest_date_range(s, s.replace(hour=3),
+                                           str(tmp_path), conf,
+                                           fetcher=fake_fetch)
+    assert len(done) == 4 and not failed
+    # idempotent skip on re-run
+    done2, _ = flow.harvest_date_range(s, s.replace(hour=3), str(tmp_path),
+                                       conf, fetcher=fake_fetch)
+    assert done2 == []
+
+    jobs = flow.invoke_harvester_windows(dt.date(2020, 9, 24))
+    hrrr_jobs = [j for j in jobs if j[0] == "hrrr"]
+    rtma_jobs = [j for j in jobs if j[0] == "rtma"]
+    assert len(hrrr_jobs) == 6 and len(rtma_jobs) == 24
+
+
+def test_wind_quality_check(tmp_path, rng):
+    g = make_grid(rng)
+    p = write_grid(tmp_path, "ok.npz", g)
+    assert flow.wind_quality_check(p)
+    bad = tmp_path / "bad.npz"
+    bad.write_bytes(b"not a npz")
+    alerts = []
+    assert not flow.wind_quality_check(str(bad),
+                                       alert=lambda s, m: alerts.append(s))
+    assert alerts
+
+
+def test_dir_watcher(tmp_path):
+    d = tmp_path / "watch"
+    os.makedirs(d)
+    w = flow.DirWatcher(str(d), force=True, regex=r".*\.csv$")
+    (d / "a.csv").write_text("x")
+    (d / "b.txt").write_text("x")
+    new = w.whats_new_local()
+    assert len(new) == 1 and new[0].endswith("a.csv")
+    # the cursor is the previous watcher's construction time, so a second
+    # run still sees the file (it appeared after w was constructed); the
+    # cursor file has 1-second resolution, so wait out the boundary
+    time.sleep(1.1)
+    w2 = flow.DirWatcher(str(d), regex=r".*\.csv$")
+    assert len(w2.whats_new_local()) == 1
+    # ...and a third run (cursor = w2's construction) sees nothing new
+    w3 = flow.DirWatcher(str(d), regex=r".*\.csv$")
+    assert w3.whats_new_local() == []
+
+
+def test_station_data_with_fake_fetch():
+    plume = {"Candidate ID": "ang20200924t211102-1",
+             "Plume Latitude (deg)": "34.5",
+             "Plume Longitude (deg)": "-118.5"}
+
+    def fetch(url):
+        return {"STATION": [
+            {"LONGITUDE": "-118.6", "LATITUDE": "34.5",
+             "OBSERVATIONS": {"wind_speed_set_1": [2.0, 4.0]}},
+            {"LONGITUDE": "-120.0", "LATITUDE": "36.0",
+             "OBSERVATIONS": {"wind_speed_set_1": [9.0]}},
+        ]}
+
+    out = flow.get_station_data_for_plume(plume, fetch=fetch)
+    assert out["Station wind speed (m/s)"] == 3.0
+    assert out["Distance from station (km)"] < 12
+    # failure path -> NA fill
+    out2 = flow.get_station_data_for_plume(
+        plume, fetch=lambda url: (_ for _ in ()).throw(IOError()))
+    assert out2["Station wind speed (m/s)"] == "NA"
+
+
+def test_job_queue(tmp_path):
+    q = flow.JobQueue()
+    q.register("ime", lambda p: p["PPMMTHR"])
+    q.submit(flow.Job("ime", dict(flow.IME_JOB_DEFAULTS)))
+    assert q.results[0][1] == 1500
+    with pytest.raises(KeyError):
+        q.submit(flow.Job("nope", {}))
+    q.register("fail", lambda p: 1 / 0)
+    q.submit(flow.Job("fail", {}))
+    assert len(q.failures) == 1
+
+    d = tmp_path / "events"
+    os.makedirs(d)
+    (d / "x_plumes.csv").write_text("a\n")
+    jobs = flow.watch_and_trigger(str(d), "ime2", _register(q),
+                                  regex=r".*\.csv$", force=True)
+    assert len(jobs) == 1
+
+
+def _register(q):
+    q.register("ime2", lambda p: p["path"])
+    return q
+
+
+def test_msf_flow_end_to_end(tmp_path, rng):
+    """Orchestrator: plume csv -> wind stats + emissions -> merged output
+    with .bak on re-run (reference: msf_flow.py main flow)."""
+    # winds
+    winds = tmp_path / "winds"
+    hdir = winds / "hrrr" / "20200924"
+    os.makedirs(hdir)
+    for hh in ("20", "21", "22"):
+        flow.write_wind_grid_npz(
+            str(hdir / f"hrrr.20200924{hh}.wrfsfcf00.npz"),
+            make_grid(rng, u0=3.0, v0=4.0))
+    # plume list
+    pdir = tmp_path / "plumes"
+    os.makedirs(pdir)
+    plumecsv = pdir / "ang_plumes_minppmm500.csv"
+    pd.DataFrame([{
+        "Candidate ID": "ang20200924t211102-1",
+        "Plume Latitude (deg)": 34.5,
+        "Plume Longitude (deg)": -118.5,
+        "AvgIMEdivFetch20 (kg/m)": 0.02,
+        "StdIMEdivFetch20 (kg/m)": 0.004,
+        "Aspect ratio20": 0.5,
+    }]).to_csv(plumecsv, index=False)
+
+    plumes = flow.process_plumes([str(plumecsv)], str(winds), nprocs=2,
+                                 ext=".npz")
+    assert len(plumes) == 1
+    assert plumes[0]["Minimum Threshold (ppmm)"] == 500
+    er_key = "Emission Rate (kg/hr) [HRRR 10 m]"
+    assert er_key in plumes[0]
+
+    outf = tmp_path / "out" / "merged.csv"
+    flow.insert_plumes_in_file(list(plumes), str(outf),
+                               sort_by_key="Candidate ID")
+    assert outf.is_file()
+    # merge again -> .bak created, rows doubled
+    flow.insert_plumes_in_file(list(plumes), str(outf),
+                               sort_by_key="Candidate ID")
+    assert (tmp_path / "out" / "merged.csv.bak").is_file()
+    back = pd.read_csv(outf)
+    assert len(back) == 2
