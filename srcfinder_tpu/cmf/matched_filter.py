@@ -141,7 +141,7 @@ def _loo_nll(lam, Z, logdiag, n, m, alphas, nchan):
 
 @functools.partial(jax.jit, static_argnames=("model", "reflectance"))
 def matched_filter_columns(x, m, abscf, alphas, model: str = "looshrinkage",
-                           reflectance: bool = False, T=None):
+                           reflectance: bool = False, T=None, moments=None):
     """Robust matched filter over all columns simultaneously.
 
     x:      (L, C, B) active-window radiance (columns = detector samples)
@@ -164,7 +164,9 @@ def matched_filter_columns(x, m, abscf, alphas, model: str = "looshrinkage",
     # zero out invalid rows with where (not multiplication: NaN * 0 = NaN)
     mbool = m.astype(bool)
     x = jnp.where(mbool[:, :, None], x, 0.0)
-    n, mu, S = masked_moments(x, m)
+    # ``moments``: optionally precomputed (n, mu, S) — e.g. from the fused
+    # Pallas kernel (srcfinder_tpu.ops.masked_moments_pallas)
+    n, mu, S = masked_moments(x, m) if moments is None else moments
     ok = n >= 2.0                                                  # need ddof=1
 
     if T is None:

@@ -56,12 +56,14 @@ def robust_mf_image(infile: str, library: str, outfile: str,
                     regfull: bool = False, reflectance: bool = False,
                     rgb_bands=(60, 42, 24), save_bgmeta: bool = False,
                     col_chunk: int = 256, dtype=np.float32,
-                    verbose: bool = False):
+                    use_pallas: bool = False, verbose: bool = False):
     """Run the columnwise robust MF over a full flightline.
 
     Returns a dict with output paths and the column-stats arrays.
     ``dtype=float64`` enables jax x64 for the duration (the reference
     computes in float64 LAPACK; float32 is the TPU-native fast path).
+    ``use_pallas`` computes the masked moments with the fused streaming
+    kernel (unimodal path only).
     """
     import contextlib
     ctx = (jax.enable_x64(True) if np.dtype(dtype) == np.float64
@@ -72,12 +74,12 @@ def robust_mf_image(infile: str, library: str, outfile: str,
             pcadim=pcadim, reject=reject, regfull=regfull,
             reflectance=reflectance, rgb_bands=rgb_bands,
             save_bgmeta=save_bgmeta, col_chunk=col_chunk, dtype=dtype,
-            verbose=verbose)
+            use_pallas=use_pallas, verbose=verbose)
 
 
 def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
                      reject, regfull, reflectance, rgb_bands, save_bgmeta,
-                     col_chunk, dtype, verbose):
+                     col_chunk, dtype, use_pallas, verbose):
     img = envi_io.open_envi(infile)
     mm = img.open_memmap(interleave="source")
     if img.interleave != "bil":
@@ -144,8 +146,12 @@ def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
     alphas_j = jnp.asarray(alphas.astype(dtype))
     abscf_j = jnp.asarray(abscf.astype(dtype))
 
-    # ---- fixed-shape batched column processing ------------------------
-    for c0 in range(0, ncols, col_chunk):
+    # ---- fixed-shape batched column processing, with the host reads
+    # double-buffered ahead of device compute ---------------------------
+    from ..core.prefetch import BlockPrefetcher
+
+    def read_block(bi):
+        c0 = bi * col_chunk
         c1 = min(ncols, c0 + col_chunk)
         width = c1 - c0
         # (lines, bands, chunk) -> (lines, chunk, B)
@@ -155,7 +161,13 @@ def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
             xblk = np.concatenate(
                 [xblk, np.zeros((nrows, col_chunk - width, xblk.shape[2]),
                                 dtype)], axis=1)
-        xj = jnp.asarray(xblk)
+        return np.ascontiguousarray(xblk)
+
+    nblocks = -(-ncols // col_chunk)
+    for bi, xj in BlockPrefetcher(read_block, nblocks):
+        c0 = bi * col_chunk
+        c1 = min(ncols, c0 + col_chunk)
+        width = c1 - c0
         mj = mfmod.valid_mask(xj).astype(dtype)
         if bgmodes > 1:
             res = mfmod.matched_filter_columns_multimodal(
@@ -168,9 +180,13 @@ def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
                 bg_mm[:, c0:c1, 0] = np.asarray(res.labels)[:, :width]
                 bg_mm[:, c0:c1, 1] = np.asarray(res.alpha_pix)[:, :width]
         else:
+            moments = None
+            if use_pallas:
+                from ..ops import masked_moments_pallas
+                moments = masked_moments_pallas(xj)
             res = mfmod.matched_filter_columns(
                 xj, mj, abscf_j, alphas_j, model=model,
-                reflectance=reflectance)
+                reflectance=reflectance, moments=moments)
             mf = np.asarray(res.mf) * ppm
             valid = np.asarray(mj) > 0
             if save_bgmeta:
