@@ -150,18 +150,24 @@ def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
     # double-buffered ahead of device compute ---------------------------
     from ..core.prefetch import BlockPrefetcher
 
+    from ..core.native import HAVE_NATIVE, bil_window_to_lcb
+
     def read_block(bi):
         c0 = bi * col_chunk
         c1 = min(ncols, c0 + col_chunk)
         width = c1 - c0
         # (lines, bands, chunk) -> (lines, chunk, B)
-        xblk = np.asarray(mm[:, active[0] - 1: active[1], c0:c1],
-                          dtype=dtype).transpose(0, 2, 1)
+        if HAVE_NATIVE and np.dtype(dtype) == np.float32:
+            xblk = bil_window_to_lcb(mm, active[0] - 1, active[1], c0, c1)
+        else:
+            xblk = np.ascontiguousarray(
+                np.asarray(mm[:, active[0] - 1: active[1], c0:c1],
+                           dtype=dtype).transpose(0, 2, 1))
         if width < col_chunk:  # pad to keep the jit cache warm
             xblk = np.concatenate(
                 [xblk, np.zeros((nrows, col_chunk - width, xblk.shape[2]),
                                 dtype)], axis=1)
-        return np.ascontiguousarray(xblk)
+        return xblk
 
     nblocks = -(-ncols // col_chunk)
     for bi, xj in BlockPrefetcher(read_block, nblocks):
