@@ -22,6 +22,9 @@ H, W = 2801, 669  # benchmark scene ang20200924t211102 (lines x samples)
 
 def main():
     import jax
+    # persistent compile cache: TPU (remote) compiles dominate cold runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from srcfinder_tpu.models.googlenet import googlenet
     from srcfinder_tpu.detect.fcn_pipeline import fcn_shift_saliency

@@ -21,3 +21,9 @@ from .labels import (CMFBG, POINTSRC, DIFFSRC, FALSESRC, LOCSRC, CMFLABELS,
                      rgba2float)
 from .tiles import pixbox, inbbox, extract_tile, bbox_overlap, iou
 from .physics import ime, ime_scale
+from .geotiff import write_geotiff, read_geotiff
+from .loaders import (loadcmf, loadmaskedimage, loadfiltdet, loaddetids,
+                      loadsaliencemap, load_plumedf, parse_masks, mask2rgb,
+                      absnorm, smoothbil)
+from .prefetch import prefetch_to_device, BlockPrefetcher
+from .native import HAVE_NATIVE, bil_window_to_lcb, label8
