@@ -166,35 +166,57 @@ class GoogLeNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False):
+    def __call__(self, x, train: bool = False, features_only: bool = False,
+                 stage: int | None = None):
+        """``stage`` (1..5) computes only that stride-2 trunk stage on
+        already-computed features — the phase-deduplicated FCN path
+        (detect.fcn_pipeline.fcn_phase_saliency) drives stages
+        individually. Stage boundaries are the downsampling ops:
+        1: conv1 | 2: maxpool1+conv2+conv3 | 3: maxpool2+inception3 |
+        4: maxpool3+inception4 | 5: maxpool4+inception5.
+        """
         conv = partial(BasicConv2d, dtype=self.dtype)
         inc = partial(Inception, dtype=self.dtype)
-        x = conv(64, 7, strides=2, padding=3, name="conv1")(x, train)
-        x = _ceil_maxpool(x, 3, 2)
-        x = conv(64, 1, name="conv2")(x, train)
-        x = conv(192, 3, padding=1, name="conv3")(x, train)
-        x = _ceil_maxpool(x, 3, 2)
 
-        x = inc(64, 96, 128, 16, 32, 32, name="inception3a")(x, train)
-        x = inc(128, 128, 192, 32, 96, 64, name="inception3b")(x, train)
-        x = _ceil_maxpool(x, 3, 2)
+        if stage in (None, 1):
+            x = conv(64, 7, strides=2, padding=3, name="conv1")(x, train)
+            if stage == 1:
+                return x
+        if stage in (None, 2):
+            x = _ceil_maxpool(x, 3, 2)
+            x = conv(64, 1, name="conv2")(x, train)
+            x = conv(192, 3, padding=1, name="conv3")(x, train)
+            if stage == 2:
+                return x
+        if stage in (None, 3):
+            x = _ceil_maxpool(x, 3, 2)
+            x = inc(64, 96, 128, 16, 32, 32, name="inception3a")(x, train)
+            x = inc(128, 128, 192, 32, 96, 64, name="inception3b")(x, train)
+            if stage == 3:
+                return x
 
-        x = inc(192, 96, 208, 16, 48, 64, name="inception4a")(x, train)
-        aux1 = None
-        if self.aux_logits and train:
-            aux1 = InceptionAux(self.num_classes, self.dropout_aux,
-                                dtype=self.dtype, name="aux1")(x, train)
-        x = inc(160, 112, 224, 24, 64, 64, name="inception4b")(x, train)
-        x = inc(128, 128, 256, 24, 64, 64, name="inception4c")(x, train)
-        x = inc(112, 144, 288, 32, 64, 64, name="inception4d")(x, train)
-        aux2 = None
-        if self.aux_logits and train:
-            aux2 = InceptionAux(self.num_classes, self.dropout_aux,
-                                dtype=self.dtype, name="aux2")(x, train)
-        x = inc(256, 160, 320, 32, 128, 128, name="inception4e")(x, train)
-        x = _ceil_maxpool(x, 2, 2)
-        x = inc(256, 160, 320, 32, 128, 128, name="inception5a")(x, train)
-        x = inc(384, 192, 384, 48, 128, 128, name="inception5b")(x, train)
+        aux1 = aux2 = None
+        if stage in (None, 4):
+            x = _ceil_maxpool(x, 3, 2)
+            x = inc(192, 96, 208, 16, 48, 64, name="inception4a")(x, train)
+            if stage is None and self.aux_logits and train:
+                aux1 = InceptionAux(self.num_classes, self.dropout_aux,
+                                    dtype=self.dtype, name="aux1")(x, train)
+            x = inc(160, 112, 224, 24, 64, 64, name="inception4b")(x, train)
+            x = inc(128, 128, 256, 24, 64, 64, name="inception4c")(x, train)
+            x = inc(112, 144, 288, 32, 64, 64, name="inception4d")(x, train)
+            if stage is None and self.aux_logits and train:
+                aux2 = InceptionAux(self.num_classes, self.dropout_aux,
+                                    dtype=self.dtype, name="aux2")(x, train)
+            x = inc(256, 160, 320, 32, 128, 128, name="inception4e")(x, train)
+            if stage == 4:
+                return x
+        if stage in (None, 5):
+            x = _ceil_maxpool(x, 2, 2)
+            x = inc(256, 160, 320, 32, 128, 128, name="inception5a")(x, train)
+            x = inc(384, 192, 384, 48, 128, 128, name="inception5b")(x, train)
+            if stage == 5:
+                return x
 
         if features_only:
             # FCN trunk output (reference: fcn_pred_pipeline.py:157 keeps

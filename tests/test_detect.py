@@ -211,3 +211,15 @@ def test_preprocess():
     assert norm_for_model("multi_64") == (115.0, 190.0)
     with pytest.raises(KeyError):
         norm_for_model("nope")
+
+
+def test_fcn_phase_saliency_bitexact(small_model, rng):
+    """The phase-deduplicated fast path must be bit-exact vs the per-shift
+    path (zero background is a fixed point for freshly-initialized BN)."""
+    from srcfinder_tpu.detect.fcn_pipeline import fcn_phase_saliency
+    model, variables = small_model
+    img = rng.normal(size=(20, 45)).astype(np.float32)
+    ref = np.asarray(fcn_shift_saliency(model, variables,
+                                        jnp.asarray(img), 32, 256))
+    got = np.asarray(fcn_phase_saliency(model, variables, jnp.asarray(img)))
+    np.testing.assert_array_equal(got, ref)

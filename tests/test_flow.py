@@ -522,3 +522,31 @@ def test_msf_flow_end_to_end(tmp_path, rng):
     assert (tmp_path / "out" / "merged.csv.bak").is_file()
     back = pd.read_csv(outf)
     assert len(back) == 2
+
+
+def test_wind_export_nc(tmp_path, rng):
+    from srcfinder_tpu.flow import wind_export
+    g = make_grid(rng, ny=12, nx=16)
+    p = write_grid(tmp_path, "w.npz", g)
+    ncf = str(tmp_path / "w.nc")
+    wind_export.wind_grid_to_nc(p, ncf)
+    from scipy.io import netcdf_file
+    with netcdf_file(ncf, "r") as nc:
+        assert nc.Conventions == b"CF-1.8"
+        u = nc.variables["u"][:]
+        lats = nc.variables["lat"][:]
+        assert u.shape == (len(lats), len(nc.variables["lon"][:]))
+        assert abs(float(u.mean()) - float(g.u.mean())) < 0.2
+        assert nc.variables["u"].standard_name == b"eastward_wind"
+
+
+def test_parse_wind_filename_date():
+    from srcfinder_tpu.flow.wind_export import parse_wind_filename_date
+    import datetime as dt2
+    assert (parse_wind_filename_date("hrrr.2020092421.wrfsfcf00.grib2")
+            == dt2.datetime(2020, 9, 24, 21))
+    assert (parse_wind_filename_date(
+        "rtma2p5_ru.202009242115z.2dvaranl_ndfd.grib2")
+        == dt2.datetime(2020, 9, 24, 21, 15))
+    with pytest.raises(ValueError):
+        parse_wind_filename_date("nope.grib2")
