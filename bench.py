@@ -8,6 +8,9 @@ stitch, nodata stamp) on one TPU chip with random weights (the trained
 .pt files are stripped from the reference snapshot; weights do not affect
 throughput) and reports Mpix/s with vs_baseline = ours / reference-best.
 
+Uses the phase-deduplicated path (bit-exact vs the per-shift path — the
+test suite asserts equality; detect/fcn_pipeline.fcn_phase_saliency).
+
 Prints exactly ONE JSON line.
 """
 
@@ -27,7 +30,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from srcfinder_tpu.models.googlenet import googlenet
-    from srcfinder_tpu.detect.fcn_pipeline import fcn_shift_saliency
+    from srcfinder_tpu.detect.fcn_pipeline import fcn_phase_saliency
     from srcfinder_tpu.detect.preprocess import preprocess_ch4, norm_for_model
 
     model = googlenet(num_classes=2, dropout=0.0, dropout_aux=0.0)
@@ -40,15 +43,18 @@ def main():
     mean, std = norm_for_model("multi_64")
     x = preprocess_ch4(jnp.asarray(band), mean, std)
 
-    batch = 32
-    # warmup: compile the shift-chunk executable once
-    np.asarray(fcn_shift_saliency(model, variables, x, scale=32, batch=batch))
+    def run():
+        sal = fcn_phase_saliency(model, variables, x, scale=32)
+        sal = jnp.where(jnp.asarray(band) == -9999.0, -9999.0, sal)
+        return np.asarray(sal)
+
+    # warmup: compile the stage executables once
+    run()
 
     # honest timing: np.asarray forces completion + device->host transfer
     # (block_until_ready alone reports early through the axon tunnel)
     t0 = time.time()
-    sal = np.asarray(fcn_shift_saliency(model, variables, x, scale=32,
-                                        batch=batch))
+    sal = run()
     elapsed = time.time() - t0
     assert np.isfinite(sal[sal != -9999]).all()
 

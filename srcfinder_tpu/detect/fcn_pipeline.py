@@ -160,29 +160,25 @@ def _stage45_probs(model: GoogLeNet, variables, feats3, fill4, fill5,
     fc = variables["params"]["fc"]
 
     def per_map(f3):
-        probs = []
-        for dt4 in (0, 1):
-            for dl4 in (0, 1):
-                f4 = model.apply(
-                    variables, _translate01(f3, dt4, dl4, fill4)[None],
-                    train=False, stage=4)[0]
-                for dt5 in (0, 1):
-                    for dl5 in (0, 1):
-                        f5 = model.apply(
-                            variables,
-                            _translate01(f4, dt5, dl5, fill5)[None],
-                            train=False, stage=5)[0]
-                        logits = (jnp.einsum("hwc,ck->hwk", f5,
-                                             fc["kernel"]) + fc["bias"])
-                        probs.append(jax.nn.softmax(logits, -1)[..., 1])
-        return jnp.stack(probs)                      # (16, h5, w5)
+        # all 4 stage-4 phases as ONE conv batch, then all 16 stage-5
+        # phases as one batch (keeps the small deep-stage maps on the MXU
+        # at a useful batch size)
+        f4in = jnp.stack([_translate01(f3, dt, dl, fill4)
+                          for dt in (0, 1) for dl in (0, 1)])
+        f4 = model.apply(variables, f4in, train=False, stage=4)
+        f5in = jnp.stack([_translate01(f4[i], dt, dl, fill5)
+                          for i in range(4)
+                          for dt in (0, 1) for dl in (0, 1)])
+        f5 = model.apply(variables, f5in, train=False, stage=5)
+        logits = jnp.einsum("nhwc,ck->nhwk", f5, fc["kernel"]) + fc["bias"]
+        return jax.nn.softmax(logits, -1)[..., 1]    # (16, h5, w5)
 
     out = jax.lax.map(per_map, feats3, batch_size=chunk)
     return out.reshape((-1,) + out.shape[2:])        # (16*N, h5, w5)
 
 
 def fcn_phase_saliency(model: GoogLeNet, variables, img, scale: int = 32,
-                       chunks=(4, 16, 32, 64, 64)):
+                       chunks=(4, 8, 16, 4)):
     """Phase-deduplicated shift-and-stitch: exact fast path.
 
     The 1024 shift forwards share a binary phase tree — a stride-2 stage
