@@ -48,10 +48,16 @@ def build_parser():
 
 
 def main(argv=None):
+    import os
     import numpy as np
+    from ..utils.config import default_compile_cache
     from .pipeline import robust_mf_image
 
+    default_compile_cache()
     args = build_parser().parse_args(argv)
+    if not os.path.isfile(args.library):
+        print(f'library file not found: "{args.library}"')
+        return 1
     rgb = [] if args.rgb_bands == "[]" else [int(b) for b in
                                              args.rgb_bands.split(",")]
     print('started processing input file: "%s"' % args.input)

@@ -72,6 +72,8 @@ def save_weights(path, variables):
 def _run(args, saliency_fn):
     import numpy as np
     from ..core import envi as envi_io
+    from ..utils.config import default_compile_cache
+    default_compile_cache()
 
     print("[STEP] MODEL INITIALIZATION")
     if not args.weights or not os.path.isfile(args.weights):

@@ -146,6 +146,8 @@ def main(argv=None):
                         choices=[".grib2", ".npz"])
     args = parser.parse_args(argv)
 
+    from ..utils.config import default_compile_cache
+    default_compile_cache()
     logger = init_logger("msf_flow")
     if args.flmode:
         flist = [args.flmode]

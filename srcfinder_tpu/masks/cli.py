@@ -57,6 +57,8 @@ def mask_output_name(f_txt: str) -> str:
 def main(argv=None):
     import numpy as np
     from ..core import envi as envi_io
+    from ..utils.config import default_compile_cache
+    default_compile_cache()
     from .sds import (MaskParams, masks_for_cube, get_radius_in_pixels)
 
     args = build_parser().parse_args(argv)

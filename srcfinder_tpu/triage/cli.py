@@ -18,6 +18,8 @@ def build_parser():
                    help="Use robust statistics")
     p.add_argument("-j", "--jobs", type=int, default=1,
                    help="Number of parallel jobs (1 job per image)")
+    p.add_argument("--plot", action="store_true",
+                   help="Plot column statistics")
     p.add_argument("--randomize", action="store_true",
                    help="Randomize cmffiles processing order")
     p.add_argument("--outdir", type=str, default=".")
@@ -27,7 +29,10 @@ def build_parser():
 
 def main(argv=None):
     import numpy as np
+    from ..utils.config import default_compile_cache
     from .profile import profile_files
+
+    default_compile_cache()
 
     args = build_parser().parse_args(argv)
     files = list(args.cmffiles)
@@ -35,6 +40,14 @@ def main(argv=None):
         files = list(np.array(files)[np.random.permutation(len(files))])
     results = profile_files(files, outdir=args.outdir,
                             use_robust_stats=args.robust, n_jobs=args.jobs)
+    if args.plot:
+        import os
+        from .profile import plot_stats
+        for f in files:
+            outbase = os.path.splitext(os.path.basename(f))[0]
+            colcsv = os.path.join(args.outdir, outbase + "_column_stats.csv")
+            if os.path.exists(colcsv):
+                plot_stats(f, colcsv, use_robust_stats=args.robust)
     if args.verbose:
         for f, r in zip(files, results):
             print(f, "->", r)

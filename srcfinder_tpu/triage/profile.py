@@ -65,6 +65,7 @@ def summarize_cmf(cmff: str, outdir: str = ".", use_robust_stats=False,
     from ..core import envi as envi_io
 
     outbase = os.path.splitext(os.path.basename(cmff))[0]
+    os.makedirs(outdir or ".", exist_ok=True)
     colcsv = os.path.join(outdir, outbase + "_column_stats.csv")
     if os.path.exists(colcsv) and not overwrite:
         return False
@@ -83,6 +84,75 @@ def summarize_cmf(cmff: str, outdir: str = ".", use_robust_stats=False,
         np.c_[tuple(np.asarray(s) for s in stats)], columns=statcols)
     coldf.to_csv(colcsv, index=False)
     return colcsv
+
+
+def plot_stats(cmff: str, colcsv: str, use_robust_stats=False,
+               ncols_fpa: int = ANG_NCOLS):
+    """Quicklook PDFs for one profiled CMF (reference:
+    cmf_profile.py:144-212): (1) CMF overlay + column mu±sigma profile +
+    valid-pixel percentage; (2) rolling-median(3) deviation with 1/2/3
+    sigma(MAD) detection lines. Returns the two pdf paths."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from ..core import envi as envi_io
+    from ..core.stats import mad as _mad
+
+    df = pd.read_csv(colcsv)
+    avg = df["med"] if use_robust_stats else df["avg"]
+    std = df["mad"] if use_robust_stats else df["std"]
+    colidx = np.arange(len(df))
+
+    img = envi_io.open_envi(cmff)
+    mm = img.open_memmap(interleave="bip")
+    rgb = np.clip(np.asarray(mm[..., :-1], np.float32) / 15, 0, 1)
+    cmf = np.asarray(mm[..., -1], np.float32)
+    nodatav = np.float32(img.metadata.get("data ignore value", -9999))
+    cmfm = np.where((cmf == nodatav) | (cmf <= 0), np.nan, cmf)
+
+    maxidx = int(np.nanargmax(avg.values))
+    colfigf = os.path.splitext(colcsv)[0] + ".pdf"
+    fig, ax = plt.subplots(3, 1, figsize=(24, 3 * 3.25))
+    ax[0].imshow(rgb.transpose(1, 0, 2))
+    ax[0].imshow(cmfm.T, vmin=500, vmax=1500, cmap="YlOrRd",
+                 interpolation="none")
+    ax[0].set_ylabel("CMF column", size="small")
+    ax[0].axhline(maxidx, c="m", ls="--")
+    ax[1].set_title(os.path.basename(os.path.splitext(cmff)[0]))
+    ax[1].plot(colidx, avg, c="b")
+    ax[1].plot(colidx, avg - std, c="b", ls="--", alpha=0.5)
+    ax[1].plot(colidx, avg + std, c="b", ls="--", alpha=0.5)
+    ax[1].set_ylabel("CMF $\\mu \\pm \\sigma$ (ppmm)")
+    ax[2].plot(colidx, 100 * df["npix"].values / max(rgb.shape[0], 1))
+    ax[2].set_ylim(0.0, 100.0)
+    ax[2].set_ylabel("Valid pixels (%)")
+    ax[2].set_xlabel("CMF column")
+    for axi in (ax[1], ax[2]):
+        axi.set_xlim(0, ncols_fpa)
+        axi.axvline(maxidx, c="m", ls="--", alpha=0.8)
+    fig.tight_layout()
+    fig.savefig(colfigf)
+    plt.close(fig)
+
+    # rolling-median deviation detector plot
+    colrwinf = os.path.splitext(colcsv)[0] + "_rwin.pdf"
+    ser = pd.Series(avg.values)
+    rwin = ser.rolling(3, center=True).median()
+    rwin.iloc[0] = np.nanmedian(ser.values[:3])
+    rwin.iloc[-1] = np.nanmedian(ser.values[-3:])
+    coldiff = ser - rwin
+    colsigma = _mad(ser.values[np.isfinite(ser.values)])
+    fig, ax = plt.subplots(2, 1, figsize=(25, 6.75), sharex=True)
+    ax[0].plot(ser)
+    ax[0].plot(rwin)
+    ax[1].plot(coldiff)
+    for i, c in enumerate(("yellow", "orange", "red")):
+        ax[1].axhline((i + 1) * colsigma, c=c)
+    ax[0].set_xlim(0, ncols_fpa)
+    fig.tight_layout()
+    fig.savefig(colrwinf)
+    plt.close(fig)
+    return colfigf, colrwinf
 
 
 def _mean_abs_dev(x):

@@ -1,0 +1,3 @@
+"""Shared runtime utilities (config, logging glue)."""
+
+from .config import default_compile_cache

@@ -99,3 +99,21 @@ def test_summarize_and_validate(tmp_path, rng):
 def test_missing_csv_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         validate_systematics(["nope"], np.array([0.0]), str(tmp_path))
+
+
+def test_plot_stats(tmp_path, rng):
+    from srcfinder_tpu.core import envi as envi_io
+    from srcfinder_tpu.triage import summarize_cmf, plot_stats
+    name = "ang20200101t000000_cmf_v1x"
+    img = np.zeros((50, 30, 4), np.float32)
+    img[..., :3] = 5.0
+    img[..., 3] = np.abs(rng.normal(300, 40, size=(50, 30)))
+    envi_io.save_envi(str(tmp_path / (name + ".hdr")), img,
+                      metadata={"data ignore value": -9999},
+                      interleave="bip")
+    csvf = summarize_cmf(str(tmp_path / name), str(tmp_path),
+                         use_robust_stats=True)
+    pdf1, pdf2 = plot_stats(str(tmp_path / name), csvf,
+                            use_robust_stats=True, ncols_fpa=30)
+    assert os.path.getsize(pdf1) > 1000
+    assert os.path.getsize(pdf2) > 1000
