@@ -10,3 +10,4 @@ from .labels import (LIDCOL, CIDCOL, LATCOL, LONCOL, LABCOL, CLSCOL,
 from .collect import (gather_submitted, filter_flightlines,
                       consensus_label, consensus_candidates, collect_qcdata)
 from .session import CircularBuffer, QcSession, load_settings
+from .webapp import QcWebApp, user_port, render_cmf_png

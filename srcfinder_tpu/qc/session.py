@@ -61,7 +61,7 @@ class QcSession:
     """Per-user labeling session over a campaign's CMF products."""
 
     def __init__(self, user: str, datapath: str, output_dir: str,
-                 file_regex: str = r".*_cmf_.*img$", log_len: int = 100):
+                 file_regex: str = r".*(_cmf_|_ch4mf_).*img$", log_len: int = 100):
         self.user = user
         self.datapath = datapath
         self.output_dir = output_dir
