@@ -63,6 +63,27 @@ def load_checkpoint(path):
     return tree
 
 
+def save_checkpoint_orbax(path, state: TrainState):
+    """Orbax checkpoint (full TrainState incl. optimizer momentum — the
+    resume-capable format; the npz path mirrors the reference's
+    weights-only torch.save)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path),
+               {"params": state.params, "batch_stats": state.batch_stats})
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint_orbax(path, state: TrainState = None):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    target = None
+    if state is not None:
+        target = {"params": state.params, "batch_stats": state.batch_stats}
+    return ckptr.restore(os.path.abspath(path), target)
+
+
 def _predict_probs(model, variables, dataset, batch_size=16):
     probs, labels = [], []
     for images, labs in dataset.batches(batch_size, shuffle=False):

@@ -223,3 +223,22 @@ def test_fcn_phase_saliency_bitexact(small_model, rng):
                                         jnp.asarray(img), 32, 256))
     got = np.asarray(fcn_phase_saliency(model, variables, jnp.asarray(img)))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_downsample_cli(tmp_path, rng):
+    from srcfinder_tpu.core import envi as envi_io
+    from srcfinder_tpu.detect import downsample_cli
+    data = np.abs(rng.normal(size=(60, 90))).astype(np.float32) * 100
+    meta = {"data ignore value": -9999,
+            "map info": ["UTM", "1", "1", "391000", "3786000", "5.0",
+                         "5.0", "11", "North", "WGS-84", "units=Meters",
+                         "rotation=0"]}
+    src = str(tmp_path / "src")
+    envi_io.save_envi(src + ".hdr", data, metadata=meta, interleave="bip")
+    dst = str(tmp_path / "dst")
+    rc = downsample_cli.main([src, dst, "-r", "30"])
+    assert rc == 0
+    out = envi_io.open_envi(dst)
+    assert out.shape[:2] == (10, 15)
+    from srcfinder_tpu.core.geo import mapinfo
+    assert mapinfo(out)["xps"] == 30.0

@@ -201,3 +201,20 @@ def test_tiny_experiment(tmp_path, rng):
     from srcfinder_tpu.train import load_checkpoint
     tree = load_checkpoint(os.path.join(outdir, "weights", finals[0]))
     assert "params" in tree and "batch_stats" in tree
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from srcfinder_tpu.train import (TrainState, save_checkpoint_orbax,
+                                     load_checkpoint_orbax)
+    params = {"w": jnp.arange(4.0), "b": {"x": jnp.ones((2, 2))}}
+    stats = {"m": jnp.zeros(3)}
+    state = TrainState(params, stats, None)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint_orbax(path, state)
+    back = load_checkpoint_orbax(path, state)
+    np.testing.assert_array_equal(np.asarray(back["params"]["w"]),
+                                  np.arange(4.0))
+    np.testing.assert_array_equal(np.asarray(back["batch_stats"]["m"]),
+                                  np.zeros(3))
