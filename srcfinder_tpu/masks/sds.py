@@ -161,15 +161,22 @@ def masks_for_cube(read_block, nrows: int, ncols: int, wavelengths,
     block_length = block_step + overlap
     for r0 in range(0, nrows, block_step):
         r1 = min(nrows, r0 + block_length)
-        block = jnp.asarray(np.asarray(read_block(r0, r1), np.float32))
-        sat, cloud, spec, dark = (np.asarray(m) for m in
-                                  pixel_masks(block, wavelengths, params))
+        blk = np.asarray(read_block(r0, r1), np.float32)
+        if blk.shape[0] < block_length:
+            # pad to the fixed block shape so one jit executable serves
+            # every block; -9999 rows trip none of the mask tests
+            blk = np.concatenate(
+                [blk, np.full((block_length - blk.shape[0],) + blk.shape[1:],
+                              -9999.0, np.float32)], axis=0)
+        sat, cloud, spec, dark = (np.asarray(m)[: r1 - r0] for m in
+                                  pixel_masks(jnp.asarray(blk), wavelengths,
+                                              params))
         spec_full[r0:r1][spec] = 1
         cloud_full[r0:r1][cloud] = 1
         dark_full[r0:r1][dark] = 1
         sat_full[r0:r1][sat] = 1
         if maskgrowradius_px is not None:
-            vis_veto = np.asarray(block[..., params.spec_band]
+            vis_veto = np.asarray(blk[: r1 - r0, :, params.spec_band]
                                   >= params.vis_grow_threshold)
             fl = grow_flare_mask(sat, spec, vis_veto, maskgrowradius_px,
                                  mingrowarea)
