@@ -26,3 +26,7 @@ from .utils import DirWatcher, init_logger, concat_csvs
 from .deploy import Job, JobQueue, watch_and_trigger, IME_JOB_DEFAULTS
 from .msf_flow import (process_plume, process_plumes, insert_plumes_in_file,
                        get_minppmm_from_fname)
+from .ime_worker import (detection_ime_stats, compute_ime_for_cmf,
+                         IME_JOB_PARAMS)
+from .wind_export import (regrid_to_latlon, write_wind_nc, wind_grid_to_nc,
+                          parse_wind_filename_date)

@@ -550,3 +550,40 @@ def test_parse_wind_filename_date():
         == dt2.datetime(2020, 9, 24, 21, 15))
     with pytest.raises(ValueError):
         parse_wind_filename_date("nope.grib2")
+
+
+def test_ime_worker(tmp_path, rng):
+    from srcfinder_tpu.core import envi as envi_io
+    from srcfinder_tpu.flow import detection_ime_stats, compute_ime_for_cmf
+    from srcfinder_tpu.core.physics import ime_scale
+    cmf = np.zeros((60, 40), np.float32)
+    cmf[10:14, 10:14] = 2000.0    # 16 px plume
+    cmf[30, 30] = 3000.0          # 1 px, under MINAREA -> dropped
+    cmf[0, 0] = -9999
+    m = dict(proj="UTM", ulx=391000.0, uly=3786000.0, xps=3.0, yps=3.0,
+             zone="11", hemi="North", rotation=0.0)
+    df = detection_ime_stats(cmf, m)
+    # one plume per merge distance (3 distances)
+    assert sorted(df.mergedist_m.unique().tolist()) == [10, 20, 50]
+    assert (df.area_px == 16).all()
+    expect_ime = 16 * 2000.0 * ime_scale(3.0)
+    np.testing.assert_allclose(df.ime_kg, expect_ime, rtol=1e-6)
+    assert (df.fetch_m == 12.0).all()      # 4 px * 3 m
+    assert 34 < df.lat.iloc[0] < 35
+
+    # end-to-end from a CMF product
+    prod = np.zeros((60, 40, 4), np.float32)
+    prod[..., 3] = cmf
+    envi_io.save_envi(str(tmp_path / "c.hdr"), prod,
+                      metadata={"data ignore value": -9999,
+                                "map info": ["UTM", "1", "1", "391000",
+                                             "3786000", "3.0", "3.0", "11",
+                                             "North", "WGS-84",
+                                             "units=Meters", "rotation=0"]},
+                      interleave="bip")
+    df2, summary = compute_ime_for_cmf(str(tmp_path / "c"),
+                                       out_csv=str(tmp_path / "ime.csv"))
+    assert len(df2) == 3
+    assert summary["AvgIMEdivFetch20 (kg/m)"] > 0
+    import os
+    assert os.path.isfile(str(tmp_path / "ime.csv"))
