@@ -8,4 +8,5 @@ inserts the collectives.
 """
 
 from .mesh import (make_mesh, column_sharding, batch_sharding,
-                   replicated_sharding, shard_columns_mf)
+                   replicated_sharding, shard_columns_mf,
+                   shard_fcn_shifts)

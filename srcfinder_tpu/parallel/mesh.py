@@ -49,6 +49,40 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_fcn_shifts(mesh: Mesh, model, variables, img, scale: int = 32,
+                     batch: int = 16, axis: str = "data"):
+    """FCN shift-and-stitch with the shift batch sharded over the mesh —
+    the multichip replacement for the reference's DataParallel inference
+    (cnn/fcn_pred_pipeline.py:162-165). Each chunk of shifts splits
+    across devices; the canvas and weights replicate; no collectives are
+    needed until the final stitch gather.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+    from ..detect.fcn_pipeline import (_fcn_shifts_chunk, divisibility_pad,
+                                       stitch_stack)
+
+    h0, w0 = img.shape
+    padded = divisibility_pad(jnp.asarray(img), scale)
+    canvas = jnp.pad(padded, ((scale, scale), (scale, scale)))
+    rep = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh, axis)
+    canvas = jax.device_put(canvas, rep)
+    variables = jax.device_put(variables, rep)
+
+    nshift = scale * scale
+    idx = np.arange(nshift)
+    tops, lefts = idx // scale, idx % scale
+    outs = []
+    for i in range(0, nshift, batch):
+        t = jax.device_put(jnp.asarray(tops[i:i + batch]), bsh)
+        l = jax.device_put(jnp.asarray(lefts[i:i + batch]), bsh)
+        outs.append(_fcn_shifts_chunk(model, variables, canvas, t, l,
+                                      scale, batch))
+    preds = jnp.concatenate(outs, axis=0)
+    return stitch_stack((h0, w0), preds, scale)
+
+
 def shard_columns_mf(mesh: Mesh, x, m, abscf, alphas, **kwargs):
     """Run :func:`srcfinder_tpu.cmf.matched_filter_columns` with the
     detector-column axis sharded over the mesh.

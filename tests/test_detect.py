@@ -242,3 +242,16 @@ def test_downsample_cli(tmp_path, rng):
     assert out.shape[:2] == (10, 15)
     from srcfinder_tpu.core.geo import mapinfo
     assert mapinfo(out)["xps"] == 30.0
+
+
+def test_sharded_fcn_matches_single_device(small_model, rng):
+    """FCN shifts sharded over the 8-device CPU mesh == single device."""
+    from srcfinder_tpu.parallel import make_mesh, shard_fcn_shifts
+    model, variables = small_model
+    img = rng.normal(size=(20, 45)).astype(np.float32)
+    ref = np.asarray(fcn_shift_saliency(model, variables, jnp.asarray(img),
+                                        scale=32, batch=256))
+    mesh = make_mesh(8, axis_names=("data",))
+    got = np.asarray(shard_fcn_shifts(mesh, model, variables,
+                                      jnp.asarray(img), batch=256))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
