@@ -90,6 +90,7 @@ def _run(args, saliency_fn):
     print(f"[INFO] saliency computed in {time.time() - t0:.1f}s")
 
     print("[STEP] RESULT EXPORT")
+    os.makedirs(args.output or ".", exist_ok=True)
     stem = os.path.basename(args.flightline)
     stem = os.path.splitext(stem)[0]
     outf = os.path.join(args.output, f"{stem}_saliency")
