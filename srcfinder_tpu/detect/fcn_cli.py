@@ -16,6 +16,13 @@ def build_parser():
     p.description = "Generate a flightline saliency map with a FCN (TPU)."
     p.add_argument("--scale", "-s", type=int, default=32,
                    help="Downscaling factor of the model")
+    # repurpose the inherited --method flag for the FCN execution paths
+    for action in p._actions:
+        if action.dest == "method":
+            action.choices = ["auto", "shift", "phase"]
+            action.default = "auto"
+            action.help = ("auto (phase-dedup when scale==32), shift "
+                           "(per-shift batches), phase")
     return p
 
 
@@ -25,7 +32,8 @@ def main(argv=None):
 
     def fn(band, variables):
         return fcn_saliency_image(band, variables, model_name=args.model,
-                                  scale=args.scale, batch=args.batch)
+                                  scale=args.scale, batch=args.batch,
+                                  method=args.method)
 
     return _run(args, fn)
 

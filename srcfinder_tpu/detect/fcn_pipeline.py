@@ -242,14 +242,26 @@ def fcn_phase_saliency(model: GoogLeNet, variables, img, scale: int = 32,
 
 def fcn_saliency_image(img, variables, model_name: str = "multi_64",
                        scale: int = 32, batch: int = 16, nodata=-9999.0,
-                       model: GoogLeNet | None = None, dtype=jnp.float32):
+                       model: GoogLeNet | None = None, dtype=jnp.float32,
+                       method: str = "auto"):
     """End-to-end: raw CH4 band -> preprocessed -> saliency with nodata
-    re-stamped (reference: fcn_pred_pipeline.py:219-242)."""
+    re-stamped (reference: fcn_pred_pipeline.py:219-242).
+
+    ``method``: 'shift' (per-shift batches, any scale), 'phase'
+    (phase-deduplicated fast path, scale 32 only), or 'auto' (phase when
+    scale == 32).
+    """
     from .preprocess import preprocess_ch4, norm_for_model
 
     model = model or GoogLeNet(num_classes=2, dtype=dtype)
     mean, std = norm_for_model(model_name)
     x = preprocess_ch4(jnp.asarray(img, dtype), mean, std)
-    sal = fcn_shift_saliency(model, variables, x, scale=scale, batch=batch)
+    if method == "auto":
+        method = "phase" if scale == 32 else "shift"
+    if method == "phase":
+        sal = fcn_phase_saliency(model, variables, x, scale=scale)
+    else:
+        sal = fcn_shift_saliency(model, variables, x, scale=scale,
+                                 batch=batch)
     sal = jnp.where(jnp.asarray(img) == nodata, nodata, sal)
     return sal
