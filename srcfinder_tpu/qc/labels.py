@@ -20,7 +20,7 @@ __all__ = [
     "CLOUDLAB", "FALSELAB", "NEGLABS", "AMBLAB", "BGLAB", "DUPLAB",
     "AMBLABS",
     "classlabs", "next_cid", "lnglat_to_meters", "meters_to_lnglat",
-    "cmff_to_lid", "lid2uidassign", "save_flag_csv", "load_flag_csv",
+    "cmff_to_lid", "lid2uidassign", "save_flag_csv", "load_flag_csv", "save_classlabs",
 ]
 
 # canonical plume-list / QC columns (reference: util.py:44-66)
@@ -54,6 +54,16 @@ AMBLAB = "Ambiguous"
 BGLAB = "Background"
 DUPLAB = "Duplicate"
 AMBLABS = [AMBLAB, DUPLAB, BGLAB]
+
+
+def save_classlabs(jsonoutf):
+    """Write the positive/negative/ambiguous label vocabulary JSON
+    (reference: util.py:86-95 ``save_classlabs``)."""
+    import json
+    with open(jsonoutf, "w") as fout:
+        json.dump(OrderedDict(positive=POSLABS, negative=NEGLABS,
+                              ambiguous=AMBLABS), fout)
+    return jsonoutf
 
 
 def classlabs(labvals, dtype=np.int8):

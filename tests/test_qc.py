@@ -148,3 +148,34 @@ def test_circular_buffer():
     assert list(buf) == [2, 3, 4]
     assert len(buf) == 3
     assert buf[0] == 2
+
+
+def test_collect_cli(tmp_path):
+    import json
+    from srcfinder_tpu.qc import collect_cli
+    out = tmp_path / "output"
+    sub = out / "u1" / "submitted"
+    os.makedirs(sub)
+    pd.DataFrame({qc.LIDCOL: ["l1"], qc.CIDCOL: ["A"],
+                  qc.LABCOL: [qc.PLUMELAB]}).to_csv(
+        sub / "l1_cmf_img_cid.csv", index=False)
+    pd.DataFrame({qc.LIDCOL: ["l1"], "Coverage": ["good"]}).to_csv(
+        sub / "l1_cmf_img_lid.csv", index=False)
+    lidf = tmp_path / "lidfilters.json"
+    lidf.write_text(json.dumps(
+        {"Coverage": {"accept": ["good"], "reject": ["bad"]}}))
+    rc = collect_cli.main([str(out), "--lidfilters", str(lidf),
+                           "--outprefix", str(tmp_path / "camp")])
+    assert rc == 0
+    final = pd.read_csv(str(tmp_path / "camp")
+                        + "_cid_filt_nodup_norej_noamb.csv")
+    assert len(final) == 1 and final.iloc[0][qc.CLSCOL] == 1
+
+
+def test_save_classlabs(tmp_path):
+    import json
+    from srcfinder_tpu.qc.labels import save_classlabs
+    f = save_classlabs(str(tmp_path / "classlabs.json"))
+    d = json.load(open(f))
+    assert d["positive"] == [qc.PLUMELAB, qc.SUPERLAB]
+    assert "Ambiguous" in d["ambiguous"]
