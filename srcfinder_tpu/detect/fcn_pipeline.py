@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from ..models.googlenet import GoogLeNet
 from ..models.fcn import fcn_apply
 
-__all__ = ["fcn_shift_saliency", "stitch_stack", "fcn_saliency_image"]
+__all__ = ["fcn_shift_saliency", "fcn_phase_saliency", "stitch_stack",
+           "fcn_saliency_image"]
 
 
 def divisibility_pad(img, scale: int):
@@ -178,7 +179,7 @@ def _stage45_probs(model: GoogLeNet, variables, feats3, fill4, fill5,
 
 
 def fcn_phase_saliency(model: GoogLeNet, variables, img, scale: int = 32,
-                       chunks=(4, 8, 16, 4)):
+                       chunks=(4, 8, 16, 4), mesh=None, mesh_axes=None):
     """Phase-deduplicated shift-and-stitch: exact fast path.
 
     The 1024 shift forwards share a binary phase tree — a stride-2 stage
@@ -203,6 +204,12 @@ def fcn_phase_saliency(model: GoogLeNet, variables, img, scale: int = 32,
     is a fixed point and this path is bit-exact vs
     :func:`fcn_shift_saliency`.
 
+    ``mesh``: optional ``jax.sharding.Mesh`` — the phase batch (the
+    leading 4^level axis) is sharded over ``mesh_axes`` (default: all
+    mesh axes) once it is divisible by the device count, replicating
+    weights; this is the multichip replacement for DataParallel on the
+    phase-dedup path (reference: cnn/fcn_pred_pipeline.py:162-165).
+
     Requires ``scale`` == 32 (the trunk's output stride).
     """
     if scale != 32:
@@ -215,14 +222,35 @@ def fcn_phase_saliency(model: GoogLeNet, variables, img, scale: int = 32,
     # level-0 input: the t=0 shift view
     feats = canvas[None, scale:scale + hp, scale:scale + wp, None]
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        axes = mesh_axes or tuple(mesh.axis_names)
+        if isinstance(axes, str):
+            axes = (axes,)
+        nmesh = int(np.prod([mesh.shape[a] for a in axes]))
+        rep = NamedSharding(mesh, PartitionSpec())
+        phase_sh = NamedSharding(mesh, PartitionSpec(tuple(axes)))
+        variables = jax.device_put(variables, rep)
+
+        def place(f):
+            sh = phase_sh if f.shape[0] % nmesh == 0 else rep
+            return jax.device_put(f, sh)
+    else:
+        def place(f):
+            return f
+
     fills = _background_constants(model, variables)
     for stage, chunk in zip((1, 2, 3), chunks[:3]):
-        feats = _stage_all_phases(model, variables, feats, fills[stage - 1],
-                                  stage, chunk)
+        # under a mesh, run each stage as one vmapped batch (lax.map
+        # chunking would scan across the sharded axis)
+        chunk = feats.shape[0] if mesh is not None else chunk
+        feats = _stage_all_phases(model, variables, place(feats),
+                                  fills[stage - 1], stage, chunk)
     # stages 4+5+fc fused and streamed (memory: level-4/5 features are
     # transient per level-3 map)
-    probs = _stage45_probs(model, variables, feats, fills[3], fills[4],
-                           chunks[3])                 # (1024, h5, w5)
+    chunk45 = feats.shape[0] if mesh is not None else chunks[3]
+    probs = _stage45_probs(model, variables, place(feats), fills[3],
+                           fills[4], chunk45)         # (1024, h5, w5)
 
     # phase-tree index -> shift index: digits (dt_k, dl_k) appended per
     # level, t = sum dt_k * 2^(k-1), l likewise; preds must be ordered by
