@@ -1,13 +1,16 @@
-"""Minimal self-contained GeoTIFF writer/reader.
+"""Minimal self-contained GeoTIFF writer/reader with LZW.
 
 The reference writes GeoTIFF products through GDAL (reference:
 srcfinder_util.py:1169-1208 ``gdalwrite``, :1075-1092 ``prob2geotiff``,
-:1226-1335 ``tile2geotiff``, :1977-1987 ``labimg2tif``). GDAL/rasterio
-are not available here, so this module emits uncompressed striped
+:1226-1335 ``tile2geotiff``, :1977-1987 ``labimg2tif``) and its CNN
+saliency maps LZW-compressed (cnn/cnn_pred_pipeline.py:191-202).
+GDAL/rasterio are not available here, so this module emits striped
 (Geo)TIFFs directly: baseline TIFF 6.0 tags + the GeoTIFF
 ModelPixelScale/ModelTiepoint/GeoKeyDirectory keys for UTM (WGS-84) and
-Geographic lat/lon rasters, plus the GDAL_NODATA tag. A matching reader
-round-trips them (and reads other uncompressed contiguous TIFFs).
+Geographic lat/lon rasters, plus the GDAL_NODATA tag, optionally
+LZW-compressed (TIFF 6.0 LZW with the libtiff "early change" code-width
+rule). The reader round-trips them and reads other contiguous TIFFs
+(compression none/LZW, horizontal predictor supported).
 """
 
 from __future__ import annotations
@@ -25,6 +28,106 @@ _SAMPLE_FORMAT = {np.dtype(np.uint8): 1, np.dtype(np.uint16): 1,
 
 _TYPE_SHORT, _TYPE_LONG, _TYPE_RATIONAL, _TYPE_ASCII, _TYPE_DOUBLE = \
     3, 4, 5, 2, 12
+
+
+_CLEAR, _EOI, _FIRST = 256, 257, 258
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 LZW (MSB-first bit packing, early code-width change)."""
+    out = bytearray()
+    buf = 0
+    nbuf = 0
+
+    def emit(code, bits):
+        nonlocal buf, nbuf
+        buf = (buf << bits) | code
+        nbuf += bits
+        while nbuf >= 8:
+            nbuf -= 8
+            out.append((buf >> nbuf) & 0xFF)
+        buf &= (1 << nbuf) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt, bits = _FIRST, 9
+    emit(_CLEAR, bits)
+    cur = b""
+    for byte in data:
+        cand = cur + bytes([byte])
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], bits)
+        table[cand] = nxt
+        nxt += 1
+        # width bump calibrated against libtiff (PIL cross-checked in
+        # tests): encoder at nxt == 2^bits, decoder one entry earlier
+        # (its table lags by one) at len == 2^bits - 1
+        if nxt == 4094:                 # table nearly full: restart
+            emit(_CLEAR, bits)
+            table = {bytes([i]): i for i in range(256)}
+            nxt, bits = _FIRST, 9
+        elif nxt == (1 << bits) and bits < 12:
+            bits += 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], bits)
+    emit(_EOI, bits)
+    if nbuf:
+        out.append((buf << (8 - nbuf)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """Inverse of :func:`_lzw_encode`; also reads libtiff/GDAL output."""
+    out = bytearray()
+    pos = 0
+    buf = 0
+    nbuf = 0
+    bits = 9
+    table: list = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev = None
+
+    while True:
+        while nbuf < bits:
+            if pos >= len(data):
+                return bytes(out)
+            buf = (buf << 8) | data[pos]
+            pos += 1
+            nbuf += 8
+        nbuf -= bits
+        code = (buf >> nbuf) & ((1 << bits) - 1)
+        buf &= (1 << nbuf) - 1
+
+        if code == _EOI:
+            return bytes(out)
+        if code == _CLEAR:
+            table = table[:_FIRST]
+            bits = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(table[prev] + entry[:1])
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code})")
+        out += entry
+        # width bump one entry before the encoder's (the decoder table
+        # lags by one entry) — matches libtiff ("early change")
+        if len(table) == (1 << bits) - 1 and bits < 12:
+            bits += 1
+        prev = code
+
+
+def _undo_predictor2(arr: np.ndarray) -> np.ndarray:
+    """TIFF horizontal differencing predictor (tag 317 = 2)."""
+    return np.cumsum(arr.astype(np.int64), axis=1).astype(arr.dtype) \
+        if arr.dtype.kind in "ui" else np.cumsum(arr, axis=1)
 
 
 def mapinfo_to_geotransform(m):
@@ -52,13 +155,15 @@ def _geokeys(m):
     return keys
 
 
-def write_geotiff(path, arr, mapinfo=None, nodata=None):
-    """Write (H, W) or (H, W, bands) as an uncompressed GeoTIFF.
+def write_geotiff(path, arr, mapinfo=None, nodata=None, compress=None):
+    """Write (H, W) or (H, W, bands) as a GeoTIFF.
 
     ``mapinfo``: ENVI map-info dict (see core.geo.mapinfo) or None for a
     plain TIFF. Rotation is not representable with tie-point+scale; pass
     rotation=0 imagery (the reference shells ``gdalwarp`` to north-up for
     the same reason, cmftagger/util.py:408-489).
+    ``compress``: None or "lzw" (the reference's saliency export mode,
+    cnn/cnn_pred_pipeline.py:191-202).
     """
     arr = np.asarray(arr)
     if arr.ndim == 2:
@@ -72,6 +177,11 @@ def write_geotiff(path, arr, mapinfo=None, nodata=None):
         raise ValueError(f"unsupported dtype {dt}")
     bps = dt.itemsize * 8
     data = np.ascontiguousarray(arr).tobytes()
+    if compress not in (None, "none", "lzw"):
+        raise ValueError(f"unsupported compression {compress!r}")
+    lzw = compress == "lzw"
+    if lzw:
+        data = _lzw_encode(data)
 
     entries = []          # (tag, type, count, value_or_bytes)
 
@@ -82,7 +192,7 @@ def write_geotiff(path, arr, mapinfo=None, nodata=None):
     tag(257, _TYPE_LONG, 1, h)              # ImageLength
     tag(258, _TYPE_SHORT, bands,
         struct.pack(f"<{bands}H", *([bps] * bands)))
-    tag(259, _TYPE_SHORT, 1, 1)             # Compression = none
+    tag(259, _TYPE_SHORT, 1, 5 if lzw else 1)   # Compression
     tag(262, _TYPE_SHORT, 1, 1)             # Photometric = BlackIsZero
     tag(273, _TYPE_LONG, 1, None)           # StripOffsets (patched)
     tag(277, _TYPE_SHORT, 1, bands)         # SamplesPerPixel
@@ -155,9 +265,9 @@ _NP_FROM_SF = {(1, 8): np.uint8, (1, 16): np.uint16, (1, 32): np.uint32,
 
 
 def read_geotiff(path):
-    """Read an uncompressed contiguous striped TIFF written by
-    :func:`write_geotiff`. Returns (array (H, W[, bands]), meta dict with
-    geotransform/epsg/nodata when present)."""
+    """Read a contiguous striped TIFF (compression none or LZW,
+    horizontal predictor honored). Returns (array (H, W[, bands]), meta
+    dict with geotransform/epsg/nodata when present)."""
     with open(path, "rb") as f:
         blob = f.read()
     if blob[:2] != b"II":
@@ -194,8 +304,9 @@ def read_geotiff(path):
 
     w, h = val(256), val(257)
     bands = val(277, 1)
-    if val(259, 1) != 1:
-        raise ValueError("compressed TIFFs not supported")
+    comp = val(259, 1)
+    if comp not in (1, 5):
+        raise ValueError(f"compression {comp} not supported (none/LZW)")
     bps = val(258)
     bps = bps[0] if isinstance(bps, tuple) else bps
     sf = val(339, 1)
@@ -205,8 +316,16 @@ def read_geotiff(path):
     offsets = (offsets,) if isinstance(offsets, int) else offsets
     counts = val(279)
     counts = (counts,) if isinstance(counts, int) else counts
-    buf = b"".join(blob[o:o + c] for o, c in zip(offsets, counts))
+    strips = [blob[o:o + c] for o, c in zip(offsets, counts)]
+    if comp == 5:
+        strips = [_lzw_decode(s) for s in strips]
+    buf = b"".join(strips)
     arr = np.frombuffer(buf, dt).reshape(h, w, bands)
+    predictor = val(317, 1)
+    if predictor == 2:
+        arr = _undo_predictor2(arr)
+    elif predictor not in (1, 2):
+        raise ValueError(f"predictor {predictor} not supported")
     if bands == 1:
         arr = arr[:, :, 0]
 

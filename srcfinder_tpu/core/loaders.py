@@ -102,15 +102,16 @@ def load_plumedf(plumes_file, cnn_sheet=None, manualid_sheet=None,
                  truncated_cids=True, dedupcols=()):
     """Plume-list reader + dedup (reference: srcfinder_util.py:2042-2081).
 
-    Reads .xlsx when an engine is present, .csv always (the canonical
-    sibling this framework writes next to every xlsx)."""
+    Reads .xlsx through the stdlib reader (core.xlsx — no Excel engine
+    needed) and .csv directly."""
     from .labels import LIDCOL, CIDCOL, EVALCOL, LABCOL
     from ..qc.labels import PLUMELAB, FALSELAB
+    from .xlsx import read_xlsx
 
     def _read(sheet):
         if plumes_file.endswith(".csv"):
             return pd.read_csv(plumes_file)
-        return pd.read_excel(plumes_file, sheet_name=sheet)
+        return read_xlsx(plumes_file, sheet_name=sheet)
 
     cnndf = _read(cnn_sheet)
     cnndf.columns = cnndf.columns.str.replace("#", "").str.strip()

@@ -19,10 +19,10 @@ def build_parser():
     # repurpose the inherited --method flag for the FCN execution paths
     for action in p._actions:
         if action.dest == "method":
-            action.choices = ["auto", "shift", "phase"]
+            action.choices = ["auto", "shift", "phase", "dilated"]
             action.default = "auto"
-            action.help = ("auto (phase-dedup when scale==32), shift "
-                           "(per-shift batches), phase")
+            action.help = ("auto (dilated when scale==32), shift "
+                           "(per-shift batches), phase, dilated")
     return p
 
 

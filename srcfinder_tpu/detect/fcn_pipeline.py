@@ -31,8 +31,8 @@ import jax.numpy as jnp
 from ..models.googlenet import GoogLeNet
 from ..models.fcn import fcn_apply
 
-__all__ = ["fcn_shift_saliency", "fcn_phase_saliency", "stitch_stack",
-           "fcn_saliency_image"]
+__all__ = ["fcn_shift_saliency", "fcn_phase_saliency",
+           "fcn_dilated_saliency", "stitch_stack", "fcn_saliency_image"]
 
 
 def divisibility_pad(img, scale: int):
@@ -120,10 +120,15 @@ def _translate01(F, dt: int, dl: int, fill):
     return pad[:F.shape[0], :F.shape[1], :] + fill
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
 def _background_constants(model: GoogLeNet, variables):
     """Per-level background feature vectors: the trunk's response to the
     zero canvas (BatchNorm makes zero input map to a nonzero constant
-    field, so translated-in background must use these, not zeros)."""
+    field, so translated-in background must use these, not zeros).
+
+    Jitted as ONE executable: in eager mode this is hundreds of small
+    op dispatches, which through the remote-TPU tunnel cost ~1 s per
+    call — half the whole saliency pass."""
     x = jnp.zeros((1, 64, 64, 1))
     consts = [jnp.zeros((1,), x.dtype)]
     for stage in (1, 2, 3, 4):
@@ -179,7 +184,7 @@ def _stage45_probs(model: GoogLeNet, variables, feats3, fill4, fill5,
 
 
 def fcn_phase_saliency(model: GoogLeNet, variables, img, scale: int = 32,
-                       chunks=(4, 8, 16, 4), mesh=None, mesh_axes=None):
+                       chunks=(4, 8, 16, 1), mesh=None, mesh_axes=None):
     """Phase-deduplicated shift-and-stitch: exact fast path.
 
     The 1024 shift forwards share a binary phase tree — a stride-2 stage
@@ -268,6 +273,44 @@ def fcn_phase_saliency(model: GoogLeNet, variables, img, scale: int = 32,
     return stitch_stack((h0, w0), preds, scale)
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def _dilated_probs(model: GoogLeNet, variables, canvas):
+    feats = model.apply(variables, canvas[None, :, :, None], train=False,
+                        dilated=True)[0]
+    fc = variables["params"]["fc"]
+    logits = feats @ fc["kernel"] + fc["bias"]
+    return jax.nn.softmax(logits, axis=-1)[..., 1]
+
+
+def fcn_dilated_saliency(model: GoogLeNet, variables, img, scale: int = 32):
+    """A-trous exact fast path: the whole shift-and-stitch output in ONE
+    dense dilated-trunk forward (models.googlenet ``dilated=True``).
+
+    Same FLOPs as the 1024 shifts, but each layer is a single huge-
+    spatial conv — ideal MXU batching, no per-phase bookkeeping, no
+    scan. Alignment: stitched[q] == dense[q + 1] (the stitch writes
+    shift (top,left) at strided offset scale-1-top, and view (top)
+    starts at canvas row scale-top), so after the stitch's center crop
+    the result is dense[scale//2 + 1 :][:h0]. Bit-exact vs per-shift
+    at fresh init (asserted); with trained BN stats the edge caveat is
+    larger than the phase path's (end-anchored dilated pools pad -inf at
+    the canvas extent, not per view): measured 6.1e-3 max probability
+    delta on an all-border test image vs the phase path's 5.8e-5
+    (tests/test_detect.py). Interior pixels agree; prefer 'phase' or
+    'shift' when edge-exactness matters.
+
+    Requires ``scale`` == 32 (the trunk's output stride).
+    """
+    if scale != 32:
+        raise ValueError("dilated path requires scale == 32")
+    h0, w0 = img.shape
+    padded = divisibility_pad(jnp.asarray(img), scale)
+    canvas = jnp.pad(padded, ((scale, scale), (scale, scale)))
+    dense = _dilated_probs(model, variables, canvas)
+    off = scale // 2 + 1
+    return dense[off:off + h0, off:off + w0]
+
+
 def fcn_saliency_image(img, variables, model_name: str = "multi_64",
                        scale: int = 32, batch: int = 16, nodata=-9999.0,
                        model: GoogLeNet | None = None, dtype=jnp.float32,
@@ -276,8 +319,10 @@ def fcn_saliency_image(img, variables, model_name: str = "multi_64",
     re-stamped (reference: fcn_pred_pipeline.py:219-242).
 
     ``method``: 'shift' (per-shift batches, any scale), 'phase'
-    (phase-deduplicated fast path, scale 32 only), or 'auto' (phase when
-    scale == 32).
+    (phase-deduplicated fast path, scale 32 only), 'dilated' (a-trous
+    dense pass, scale 32 only), or 'auto' (phase when scale == 32 —
+    same measured TPU speed as dilated with a 100x tighter trained-BN
+    edge bound).
     """
     from .preprocess import preprocess_ch4, norm_for_model
 
@@ -286,7 +331,9 @@ def fcn_saliency_image(img, variables, model_name: str = "multi_64",
     x = preprocess_ch4(jnp.asarray(img, dtype), mean, std)
     if method == "auto":
         method = "phase" if scale == 32 else "shift"
-    if method == "phase":
+    if method == "dilated":
+        sal = fcn_dilated_saliency(model, variables, x, scale=scale)
+    elif method == "phase":
         sal = fcn_phase_saliency(model, variables, x, scale=scale)
     else:
         sal = fcn_shift_saliency(model, variables, x, scale=scale,

@@ -159,9 +159,12 @@ def _quicklook(outdir, detid, pimg, cimg, rgb, nodata, salthr, cmfthr,
 
 
 def save_detections(outf, df, sheet="Plume_List"):
-    """Write the canonical plume list as .xlsx (when an engine is
-    available) and always as .csv (reference: salience_predictions.py:
-    152-192)."""
+    """Write the canonical plume list as .xlsx AND .csv (reference:
+    salience_predictions.py:152-192 — the xlsx is the trigger artifact
+    for the whole msf_flow layer). The xlsx is written unconditionally
+    via the stdlib writer (core.xlsx); no Excel engine is required."""
+    from ..core.xlsx import write_xlsx
+
     dfcols = ["detid", "lid", "cmfmaxlat", "cmfmaxlon", "cmfmin", "cmfmax",
               "cmfmed", "cmfmad", "salmin", "salmax", "salmed", "salmad"]
     dfout = pd.DataFrame.from_records(df.loc[:, dfcols].values,
@@ -169,10 +172,8 @@ def save_detections(outf, df, sheet="Plume_List"):
     dfout = dfout.set_index(DETECTION_COLUMNS[0])
     csvf = os.path.splitext(outf)[0] + ".csv"
     dfout.to_csv(csvf)
-    try:
-        with pd.ExcelWriter(outf) as writer:
-            dfout.to_excel(writer, sheet_name=sheet)
-    except (ImportError, ModuleNotFoundError, ValueError):
-        # no xlsx engine in this environment; the csv copy is canonical
-        pass
+    rows = [[dfout.index.name] + list(dfout.columns)]
+    for idx, row in dfout.iterrows():
+        rows.append([idx] + list(row.values))
+    write_xlsx(outf, rows, sheet_name=sheet)
     return csvf

@@ -38,6 +38,19 @@ def get_minppmm_from_fname(fname: str) -> int:
 
 
 def _dict_reader_plus_update(fname, extra):
+    if fname.endswith(".xlsx"):
+        # the reference's canonical plume list is Excel
+        # (salience_predictions.py:187-192); read via the stdlib reader
+        from ..core.xlsx import read_xlsx_rows
+        rows = read_xlsx_rows(fname)
+        header = [str(h).strip() if h is not None else "" for h in rows[0]]
+        out = []
+        for vals in rows[1:]:
+            row = {k: ("" if v is None else str(v))
+                   for k, v in zip(header, vals)}
+            row.update(extra)
+            out.append(row)
+        return out
     with open(fname) as f:
         reader = DictReader(f, skipinitialspace=True)
         return [row.update(extra) or row for row in reader]

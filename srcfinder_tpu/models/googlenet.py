@@ -40,6 +40,19 @@ def clamp_ch4(x, vmin=0.0, vmax=4000.0):
     return jnp.clip(x, vmin, vmax)
 
 
+def _dilated_maxpool(x, window: int, d: int, symmetric: bool = False):
+    """Stride-1 max pool with window dilation ``d`` — the a-trous form
+    of the trunk's stride-2 ceil-mode pools (end-anchored, padded with
+    -inf so out-of-range taps are ignored exactly like ceil_mode) and of
+    the inception pool branch (``symmetric=True``, pad d both sides)."""
+    pad = (window - 1) * d
+    pads = (pad // 2, pad - pad // 2) if symmetric else (0, pad)
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    return jax.lax.reduce_window(
+        x, neg, jax.lax.max, (1, window, window, 1), (1, 1, 1, 1),
+        [(0, 0), pads, pads, (0, 0)], window_dilation=(1, d, d, 1))
+
+
 def _ceil_maxpool(x, window: int, stride: int):
     """MaxPool2d(window, stride, ceil_mode=True) in NHWC.
 
@@ -93,11 +106,14 @@ class BasicConv2d(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dilation: int = 1,
+                 stride_one: bool = False):
+        strides = 1 if stride_one else self.strides
         x = nn.Conv(self.features,
                     (self.kernel_size, self.kernel_size),
-                    strides=(self.strides, self.strides),
-                    padding=[(self.padding, self.padding)] * 2,
+                    strides=(strides, strides),
+                    padding=[(self.padding * dilation,) * 2] * 2,
+                    kernel_dilation=(dilation, dilation),
                     use_bias=False,
                     kernel_init=trunc_normal_init(),
                     dtype=self.dtype, name="conv")(x)
@@ -117,17 +133,22 @@ class Inception(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dilation: int = 1):
         conv = partial(BasicConv2d, dtype=self.dtype)
         b1 = conv(self.ch1x1, 1, name="branch1")(x, train)
         b2 = conv(self.ch3x3red, 1, name="branch2_0")(x, train)
-        b2 = conv(self.ch3x3, 3, padding=1, name="branch2_1")(b2, train)
+        b2 = conv(self.ch3x3, 3, padding=1, name="branch2_1")(b2, train,
+                                                              dilation)
         b3 = conv(self.ch5x5red, 1, name="branch3_0")(x, train)
         # kernel 3 (not 5): torchvision weight-compat quirk
-        b3 = conv(self.ch5x5, 3, padding=1, name="branch3_1")(b3, train)
-        b4 = nn.max_pool(jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                                 constant_values=-jnp.inf),
-                         (3, 3), strides=(1, 1), padding="VALID")
+        b3 = conv(self.ch5x5, 3, padding=1, name="branch3_1")(b3, train,
+                                                              dilation)
+        if dilation == 1:
+            b4 = nn.max_pool(jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                                     constant_values=-jnp.inf),
+                             (3, 3), strides=(1, 1), padding="VALID")
+        else:
+            b4 = _dilated_maxpool(x, 3, dilation, symmetric=True)
         b4 = conv(self.pool_proj, 1, name="branch4_1")(b4, train)
         return jnp.concatenate([b1, b2, b3, b4], axis=-1)
 
@@ -167,16 +188,52 @@ class GoogLeNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False,
-                 stage: int | None = None):
+                 stage: int | None = None, dilated: bool = False):
         """``stage`` (1..5) computes only that stride-2 trunk stage on
         already-computed features — the phase-deduplicated FCN path
         (detect.fcn_pipeline.fcn_phase_saliency) drives stages
         individually. Stage boundaries are the downsampling ops:
         1: conv1 | 2: maxpool1+conv2+conv3 | 3: maxpool2+inception3 |
         4: maxpool3+inception4 | 5: maxpool4+inception5.
+
+        ``dilated=True`` runs the trunk a-trous: every stride-2 op
+        becomes stride-1 and downstream kernels dilate by the cumulative
+        removed stride, so the output is the FULL-RESOLUTION dense
+        stride-32 feature field — algebraically identical to evaluating
+        all 1024 shift-and-stitch phases (fcn_pred_pipeline.py:32-95) in
+        one pass. Returns trunk features (N, H, W, 1024); apply fc per
+        position for dense logits.
         """
         conv = partial(BasicConv2d, dtype=self.dtype)
         inc = partial(Inception, dtype=self.dtype)
+
+        if dilated:
+            x = conv(64, 7, strides=2, padding=3, name="conv1")(
+                x, train, stride_one=True)
+            x = _dilated_maxpool(x, 3, 2)
+            x = conv(64, 1, name="conv2")(x, train)
+            x = conv(192, 3, padding=1, name="conv3")(x, train, 4)
+            x = _dilated_maxpool(x, 3, 4)
+            x = inc(64, 96, 128, 16, 32, 32, name="inception3a")(x, train, 8)
+            x = inc(128, 128, 192, 32, 96, 64,
+                    name="inception3b")(x, train, 8)
+            x = _dilated_maxpool(x, 3, 8)
+            x = inc(192, 96, 208, 16, 48, 64,
+                    name="inception4a")(x, train, 16)
+            x = inc(160, 112, 224, 24, 64, 64,
+                    name="inception4b")(x, train, 16)
+            x = inc(128, 128, 256, 24, 64, 64,
+                    name="inception4c")(x, train, 16)
+            x = inc(112, 144, 288, 32, 64, 64,
+                    name="inception4d")(x, train, 16)
+            x = inc(256, 160, 320, 32, 128, 128,
+                    name="inception4e")(x, train, 16)
+            x = _dilated_maxpool(x, 2, 16)
+            x = inc(256, 160, 320, 32, 128, 128,
+                    name="inception5a")(x, train, 32)
+            x = inc(384, 192, 384, 48, 128, 128,
+                    name="inception5b")(x, train, 32)
+            return x
 
         if stage in (None, 1):
             x = conv(64, 7, strides=2, padding=3, name="conv1")(x, train)

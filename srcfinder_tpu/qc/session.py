@@ -135,10 +135,29 @@ class QcSession:
         (reference: cmftagger.py:618-664)."""
         ciddf.to_csv(self._cid_csv(cmff), index=False)
         if lid_flags is not None:
-            pd.DataFrame(list(lid_flags.items()),
-                         columns=["name", "value"]).T.to_csv(
-                self._lid_csv(cmff), index=False, header=False)
+            self.save_flags(cmff, lid_flags)
         return self._cid_csv(cmff)
+
+    # ---- flightline QC flags (reference: cmftagger.py:471-532) ---------
+    def load_flags(self, cmff) -> dict:
+        """Per-flightline flag values from the autosaved (or submitted)
+        ``*_lid.csv`` — one row per flightline, columns = flag names
+        (the format collect.gather_submitted consumes)."""
+        for f in (self._lid_csv(cmff), self._lid_csv(cmff, submitted=True)):
+            if os.path.isfile(f):
+                df = pd.read_csv(f)
+                row = df.iloc[0].to_dict()
+                row.pop(LIDCOL, None)
+                return {k: ("" if pd.isna(v) else str(v))
+                        for k, v in row.items()}
+        return {}
+
+    def save_flags(self, cmff, flags: dict):
+        """Write the one-row flightline flag CSV."""
+        row = {LIDCOL: cmff_to_lid(cmff), **flags}
+        pd.DataFrame([row]).to_csv(self._lid_csv(cmff), index=False)
+        self.log.append(f"flags saved for {os.path.basename(cmff)}")
+        return self._lid_csv(cmff)
 
     def submit(self, cmff):
         """Move autosaved state into submitted/ (reference:

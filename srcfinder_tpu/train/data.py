@@ -5,8 +5,9 @@ list, band 4 of 256x256 GeoTIFF tiles, label -1/0 -> 0 and 1 -> 1,
 ClampMethaneTile + CenterCrop + Normalize, augA (none) / augB (flips) /
 augC (flips + affine +-180deg, 10% translate, bilinear).
 
-Tiles here are read from .npy ((H, W) or (H, W, B) / (B, H, W)) or ENVI
-(rasterio/GeoTIFF is not in this environment); band selection matches the
+Tiles are read from GeoTIFF (.tif/.tiff via core.geotiff — the
+reference's native tile format, band 4 = the CMF CH4 band), .npy
+((H, W) or (H, W, B) / (B, H, W)), or ENVI; band selection matches the
 reference's ``read(4)``. Augmentations run on host numpy with a seeded
 generator; the compute-heavy path (the model) is the device side.
 """
@@ -56,8 +57,14 @@ def loss_weights_for(rows):
 
 
 def load_tile_band(path, band: int = 4):
-    """Load one band of a tile: .npy or ENVI
+    """Load one band of a tile: GeoTIFF, .npy, or ENVI
     (reference reads rasterio band 4, experiment_script_all.py:120-121)."""
+    if path.endswith((".tif", ".tiff")):
+        from ..core.geotiff import read_geotiff
+        arr, _ = read_geotiff(path)
+        if arr.ndim == 2:
+            return arr.astype(np.float32)
+        return arr[..., band - 1].astype(np.float32)
     if path.endswith(".npy"):
         arr = np.load(path)
         if arr.ndim == 2:

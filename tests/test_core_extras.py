@@ -1,5 +1,7 @@
 """GeoTIFF writer/reader and product loaders tests."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -139,3 +141,130 @@ def test_absnorm_smoothbil(rng):
     sm = loaders.smoothbil(img, mask, 5, 25, 25)
     assert sm.shape == img.shape
     assert np.isfinite(sm).all()
+
+
+# ------------------------------------------------------------- xlsx
+def test_xlsx_roundtrip(tmp_path):
+    from srcfinder_tpu.core import xlsx
+    rows = [["Candidate ID", "Count", "Frac", "Flag", "Note"],
+            ["ang-1", 3, 1.25, True, "a <b> & \"c\""],
+            ["ang-2", -7, float("nan"), False, None],
+            ["üñïçødé", 0, 2e-5, True, "  leading spaces"]]
+    p = str(tmp_path / "t.xlsx")
+    xlsx.write_xlsx(p, rows, sheet_name="Plume_List")
+    back = xlsx.read_xlsx_rows(p)
+    assert back[0] == rows[0]
+    assert back[1][:2] == ["ang-1", 3]
+    assert back[1][2] == 1.25 and back[1][3] is True
+    assert back[1][4] == 'a <b> & "c"'
+    assert back[2][2] is None and back[2][4] is None   # NaN/None -> blank
+    assert back[3][0] == "üñïçødé"
+    assert back[3][4] == "  leading spaces"
+    # named-sheet lookup + missing sheet
+    assert xlsx.read_xlsx_rows(p, "Plume_List")[0] == rows[0]
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        xlsx.read_xlsx_rows(p, "Nope")
+
+
+def test_xlsx_shared_strings(tmp_path):
+    """Reader handles Excel's sharedStrings encoding (our writer uses
+    inline strings; real files from Excel/openpyxl use the string
+    table) — crafted here independently."""
+    import zipfile
+    from srcfinder_tpu.core import xlsx
+    p = str(tmp_path / "s.xlsx")
+    sheet = ('<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+             'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+             '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+             '<c r="C1" t="s"><v>1</v></c></row>'
+             '<row r="2"><c r="A2"><v>42</v></c>'
+             '<c r="B2" t="b"><v>1</v></c>'
+             '<c r="C2" t="str"><v>cached</v></c></row>'
+             '</sheetData></worksheet>')
+    shared = ('<?xml version="1.0"?><sst xmlns="http://schemas.'
+              'openxmlformats.org/spreadsheetml/2006/main" count="2" '
+              'uniqueCount="2"><si><t>hello</t></si>'
+              '<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>')
+    wb = ('<?xml version="1.0"?><workbook xmlns="http://schemas.'
+          'openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://'
+          'schemas.openxmlformats.org/officeDocument/2006/relationships">'
+          '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>'
+          '</workbook>')
+    rels = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+            'openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats'
+            '.org/officeDocument/2006/relationships/worksheet" '
+            'Target="worksheets/sheet1.xml"/></Relationships>')
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    rows = xlsx.read_xlsx_rows(p)
+    assert rows[0] == ["hello", None, "rich"]
+    assert rows[1] == [42, True, "cached"]
+
+
+def test_xlsx_dataframe_and_plumedf(tmp_path):
+    from srcfinder_tpu.core import xlsx
+    df = pd.DataFrame({
+        "Line name": ["l1", "l1"],
+        "Candidate ID": ["l1-A", "l1-B"],
+        "True_pos/false_pos": ["TP", "FP"],
+        "Plume Latitude (deg)": [34.0, 34.1],
+        "Plume Longitude (deg)": [-118.0, -118.1],
+    })
+    p = str(tmp_path / "plumes.xlsx")
+    xlsx.write_xlsx(p, [list(df.columns)] + df.values.tolist())
+    back = xlsx.read_xlsx(p)
+    assert list(back.columns) == list(df.columns)
+    assert back["Plume Latitude (deg)"].tolist() == [34.0, 34.1]
+    # the reference reads its plume lists from xlsx
+    # (srcfinder_util.py:2042-2081)
+    out = loaders.load_plumedf(p)
+    assert list(out["Candidate ID"]) == ["A", "B"]
+    assert out.iloc[0]["Class label"].endswith("Plume")
+
+
+# ------------------------------------------------------------- LZW TIFF
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.float32])
+def test_geotiff_lzw_roundtrip(tmp_path, rng, dtype):
+    arr = (rng.normal(size=(37, 23, 3)) * 50).astype(dtype)
+    arr[5:20, 4:15] = 7        # compressible region
+    p = str(tmp_path / "z.tif")
+    geotiff.write_geotiff(p, arr, mapinfo=MAPINFO, nodata=-9999,
+                          compress="lzw")
+    back, meta = geotiff.read_geotiff(p)
+    np.testing.assert_array_equal(back, arr)
+    assert meta["nodata"] == -9999
+
+
+def test_geotiff_lzw_compresses(tmp_path):
+    arr = np.zeros((64, 64), np.float32)  # maximally compressible
+    p1, p2 = str(tmp_path / "u.tif"), str(tmp_path / "c.tif")
+    geotiff.write_geotiff(p1, arr)
+    geotiff.write_geotiff(p2, arr, compress="lzw")
+    assert os.path.getsize(p2) < os.path.getsize(p1) / 4
+
+
+def test_geotiff_lzw_external_reader(tmp_path, rng):
+    """Our LZW output decodes in an independent reader (PIL/libtiff)."""
+    PIL = pytest.importorskip("PIL.Image")
+    arr = (rng.normal(size=(21, 33)) * 100).astype(np.float32)
+    p = str(tmp_path / "x.tif")
+    geotiff.write_geotiff(p, arr, compress="lzw")
+    with PIL.open(p) as im:
+        ext = np.asarray(im)
+    np.testing.assert_array_equal(ext, arr)
+
+
+def test_geotiff_lzw_external_writer(tmp_path, rng):
+    """An LZW file produced by an independent writer (PIL) decodes
+    here, including predictor if PIL emits one."""
+    PIL = pytest.importorskip("PIL.Image")
+    arr = (np.abs(rng.normal(size=(19, 27))) * 60).astype(np.uint8)
+    p = str(tmp_path / "ext.tif")
+    PIL.fromarray(arr).save(p, format="TIFF", compression="tiff_lzw")
+    back, _ = geotiff.read_geotiff(p)
+    np.testing.assert_array_equal(back, arr)

@@ -157,6 +157,13 @@ def test_salience2detections(rng, tmp_path):
     back = pd.read_csv(csvf)
     assert "Candidate ID" in back.columns
     assert len(back) == 2
+    # the xlsx (the reference's canonical trigger artifact,
+    # salience_predictions.py:187-192) is written unconditionally and
+    # round-trips through the stdlib reader
+    from srcfinder_tpu.core.xlsx import read_xlsx
+    xl = read_xlsx(str(tmp_path / "out.xlsx"), "Plume_List")
+    assert list(xl.columns) == list(back.columns)
+    assert xl["CMF Max (ppmm)"].tolist() == back["CMF Max (ppmm)"].tolist()
 
 
 def test_filtdet(rng):
@@ -343,3 +350,30 @@ def test_fcn_phase_flops_counter(small_model):
     got = count_matmul_flops(
         lambda a: model.apply(variables, a, train=False, stage=1), x)
     assert got == 2 * 48 * 48 * 64 * 7 * 7 * 1
+
+
+def test_fcn_dilated_saliency_bitexact(small_model, rng):
+    """The a-trous dense path must be bit-exact vs the per-shift path at
+    fresh init (same equivalence class as the phase path)."""
+    from srcfinder_tpu.detect.fcn_pipeline import fcn_dilated_saliency
+    model, variables = small_model
+    img = rng.normal(size=(20, 45)).astype(np.float32)
+    ref = np.asarray(fcn_shift_saliency(model, variables,
+                                        jnp.asarray(img), 32, 256))
+    got = np.asarray(fcn_dilated_saliency(model, variables,
+                                          jnp.asarray(img)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fcn_dilated_trained_bn_deviation_bounded(small_model, rng):
+    """With trained BN stats the a-trous path deviates from the literal
+    per-shift path only near edges (ceil-pool -inf pads vs real
+    zero-input features) — bounded like the phase path."""
+    from srcfinder_tpu.detect.fcn_pipeline import fcn_dilated_saliency
+    model, variables = small_model
+    vt = _trained_like(variables)
+    img = rng.normal(size=(20, 45)).astype(np.float32)
+    ref = np.asarray(fcn_shift_saliency(model, vt, jnp.asarray(img),
+                                        32, 256))
+    got = np.asarray(fcn_dilated_saliency(model, vt, jnp.asarray(img)))
+    assert np.abs(ref - got).max() < 2e-2

@@ -895,3 +895,19 @@ def test_sm_int():
     assert _sm_int(b"\x00\x00\x00\x05") == 5
     assert _sm_int(b"\x80\x00\x00\x05") == -5
     assert _sm_int(bytes([0])) == 0
+
+
+def test_msf_flow_reads_xlsx_plume_list(tmp_path):
+    """msf_flow ingests the xlsx plume list directly (the reference's
+    canonical trigger artifact, salience_predictions.py:187-192)."""
+    from srcfinder_tpu.core.xlsx import write_xlsx
+    from srcfinder_tpu.flow.msf_flow import _dict_reader_plus_update
+    rows = [["Candidate ID", "Plume Latitude (deg)",
+             "Plume Longitude (deg)"],
+            ["ang20200924t211102-1", 34.5, -118.5]]
+    p = str(tmp_path / "plumes_minppmm500.xlsx")
+    write_xlsx(p, rows)
+    out = _dict_reader_plus_update(p, {"Minimum Threshold (ppmm)": 500})
+    assert out[0]["Candidate ID"] == "ang20200924t211102-1"
+    assert float(out[0]["Plume Latitude (deg)"]) == 34.5
+    assert out[0]["Minimum Threshold (ppmm)"] == 500

@@ -59,13 +59,14 @@ def test_webapp_end_to_end(app):
     assert name in info["todo"]
     assert "Plume" in info["labels"]
 
-    # image renders as PNG with 1:1 pixel mapping
+    # image renders as PNG, integer-magnified (click math divides out)
     png = _get(app, f"/img?fl={name}")
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
     from PIL import Image
     import io
     im = Image.open(io.BytesIO(png))
-    assert im.size == (20, 30)       # (W, H)
+    assert im.size[0] % 20 == 0 and im.size[1] % 30 == 0
+    assert im.size[0] // 20 == im.size[1] // 30   # uniform integer scale
 
     # click-to-add at pixel (row 12, col 6) -> candidate A
     _post(app, "/api/add", dict(fl=name, row=12, col=6, label="Plume"))
@@ -118,3 +119,101 @@ def test_webapp_error_paths(app):
 def test_user_port():
     assert user_port(["bob", "alice"], "alice") == 5006
     assert user_port(["bob", "alice"], "bob") == 5007
+
+
+def _png_size(data):
+    import struct
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", data[16:24])
+    return w, h
+
+
+def test_webapp_viewport_and_layers(app, tmp_path):
+    """Zoom/pan viewport + layer selection (reference zoom-to-candidate
+    with layered DynamicMaps, cmftagger.py:793-827,950-992)."""
+    app, name = app
+    # full image, magnified by an integer factor
+    full = _get(app, f"/img?fl={name}&layers=rgb,cmf")
+    fw, fh = _png_size(full)
+    assert fw % 20 == 0 and fh % 30 == 0 and fw // 20 == fh // 30
+    # viewport crop: 8x6 region, integer-magnified
+    crop = _get(app, f"/img?fl={name}&layers=rgb,cmf&x0=4&y0=10&x1=12&y1=16")
+    cw, ch = _png_size(crop)
+    assert cw % 8 == 0 and ch % 6 == 0 and cw // 8 == ch // 6
+    assert cw // 8 > fw // 20 // 2  # zoomed view at least comparable scale
+    # every layer combination renders
+    for layers in ("rgb", "cmf", "rgb,cmf,salience,labels,candidates"):
+        out = _get(app, f"/img?fl={name}&layers={layers}")
+        assert out[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_webapp_salience_and_label_overlays(app):
+    """Salience + label sibling products are discovered and composited
+    (reference: collect_data, cmftagger.py:793-827)."""
+    from srcfinder_tpu.core import envi as envi_io
+    from srcfinder_tpu.core.labels import POINTSRC, rgb2labimg
+    app_, name = app
+    cmff = app_._resolve(name)
+    d = os.path.dirname(cmff)
+    # salience sibling
+    sal = np.zeros((30, 20), np.float32)
+    sal[10:14, 5:8] = 0.9
+    envi_io.save_envi(os.path.join(d, name.replace("_cmf_", "_cmf_") +
+                                   "_saliency.hdr"),
+                      sal[..., None], interleave="bip")
+    # label sibling (ENVI class map; loadlabimg expects *class)
+    lab = np.zeros((30, 20), np.int16)
+    lab[2:5, 2:5] = POINTSRC
+    envi_io.save_envi(os.path.join(d, name + "_labclass.hdr"),
+                      lab[..., None], interleave="bip")
+    base = _get(app_, f"/img?fl={name}&layers=rgb")
+    over = _get(app_, f"/img?fl={name}&layers=rgb,salience,labels")
+    assert base != over     # overlays changed pixels
+    from srcfinder_tpu.qc.webapp import _find_sibling
+    assert _find_sibling(cmff, ("saliency",)) is not None
+    assert _find_sibling(cmff, ("_lab",)) is not None
+
+
+def test_webapp_flag_table_roundtrip(app):
+    """Editable flightline-flag table -> *_lid.csv -> collect
+    (reference: cmftagger.py:471-532)."""
+    app_, name = app
+    flags = json.loads(_get(app_, f"/api/flags?fl={name}"))
+    assert "Coverage" in flags["columns"]
+    assert flags["values"] == {}
+    _post(app_, "/api/flags", {"fl": name, "values": {
+        "Coverage": "good", "Clouds": "some", "Artifacts": "",
+        "Usernotes": "looks fine"}})
+    flags = json.loads(_get(app_, f"/api/flags?fl={name}"))
+    assert flags["values"]["Coverage"] == "good"
+    assert flags["values"]["Usernotes"] == "looks fine"
+    # submit -> gather_submitted sees the flag row
+    _post(app_, "/api/submit", {"fl": name})
+    from srcfinder_tpu.qc.collect import gather_submitted
+    cid, lid = gather_submitted(str(app_.session.output_dir))
+    assert len(lid) == 1
+    assert lid.iloc[0]["Coverage"] == "good"
+
+
+def test_webapp_relabel(app):
+    app_, name = app
+    _post(app_, "/api/add", {"fl": name, "row": 11, "col": 6,
+                             "label": "Plume"})
+    rows = json.loads(_get(app_, f"/api/candidates?fl={name}"))
+    cid = rows[0]["cid"]
+    _post(app_, "/api/relabel", {"fl": name, "cid": cid,
+                                 "label": "Artifact"})
+    rows = json.loads(_get(app_, f"/api/candidates?fl={name}"))
+    assert rows[0]["label"] == "Artifact"
+
+
+def test_webapp_wmts_and_bounds(app):
+    """WMTS basemap hook + georeferenced bounds (reference:
+    cmftagger.py:60-74 + config/wmts.json)."""
+    app_, name = app
+    wmts = json.loads(_get(app_, "/api/wmts"))
+    assert any("{z}" in v for v in wmts.values())
+    b = json.loads(_get(app_, f"/api/bounds?fl={name}"))
+    assert b["width"] == 20 and b["height"] == 30
+    assert 30 < b["lat_min"] < b["lat_max"] < 40
+    assert -125 < b["lon_min"] < b["lon_max"] < -110

@@ -139,7 +139,8 @@ def test_step_lr():
     assert float(step_lr(1e-3, 100, 85)) == pytest.approx(8e-6)
 
 
-def _make_tile_campaign(tmp_path, rng, campaign="COVID_QC", n=8, size=40):
+def _make_tile_campaign(tmp_path, rng, campaign="COVID_QC", n=8, size=40,
+                        fmt="npy"):
     droot = tmp_path / "data"
     cdir = droot / campaign / "tiles"
     os.makedirs(cdir, exist_ok=True)
@@ -147,9 +148,18 @@ def _make_tile_campaign(tmp_path, rng, campaign="COVID_QC", n=8, size=40):
     for i in range(n):
         lab = 1 if i % 3 == 0 else (0 if i % 3 == 1 else -1)
         tile = np.abs(rng.normal(size=(4, size, size))) * 200
-        path = cdir / f"t{i}.npy"
-        np.save(path, tile.astype(np.float32))
-        rows.append((f"tiles/t{i}.npy", lab))
+        if fmt == "tif":
+            # the reference's native tile format: 256^2 GeoTIFF tiles,
+            # CH4 in band 4 (experiment_script_all.py:87-130)
+            from srcfinder_tpu.core.geotiff import write_geotiff
+            path = cdir / f"t{i}.tif"
+            write_geotiff(str(path),
+                          np.moveaxis(tile, 0, -1).astype(np.float32),
+                          compress="lzw")
+        else:
+            path = cdir / f"t{i}.npy"
+            np.save(path, tile.astype(np.float32))
+        rows.append((f"tiles/{path.name}", lab))
     for name, sel in [("train.csv", rows), ("test.csv", rows[:4]),
                       ("data_labels.csv", rows)]:
         with open(droot / campaign / name, "w") as f:
@@ -218,3 +228,31 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
                                   np.arange(4.0))
     np.testing.assert_array_equal(np.asarray(back["batch_stats"]["m"]),
                                   np.zeros(3))
+
+
+def test_dataset_reads_geotiff_tiles(tmp_path, rng):
+    """Training tiles in the reference's native format: band 4 of
+    (LZW) GeoTIFF tiles (experiment_script_all.py:87-130)."""
+    droot = _make_tile_campaign(tmp_path, rng, fmt="tif")
+    rows = load_labels_csv(os.path.join(droot, "COVID_QC", "train.csv"))
+    ds = TiledDataset(os.path.join(droot, "COVID_QC"), rows,
+                      110.639, 183.9152, crop=32, augment="augA")
+    images, labels = next(iter(ds.batches(4, shuffle=False)))
+    assert images.shape == (4, 32, 32, 1)
+    assert labels.tolist() == [1, 0, 0, 1]
+    # band selection: content equals the npy fixture's band-4 plane
+    from srcfinder_tpu.train.data import load_tile_band
+    tif = load_tile_band(os.path.join(droot, "COVID_QC", "tiles", "t0.tif"))
+    assert tif.shape == (40, 40)
+
+
+def test_tiny_experiment_geotiff(tmp_path, rng):
+    """End-to-end training from synthetic GeoTIFF tiles."""
+    from srcfinder_tpu.train import TrainConfig, train_experiment
+    droot = _make_tile_campaign(tmp_path, rng, size=40, fmt="tif")
+    cfg = TrainConfig(droot, "COVID_QC", lr=1e-3, augment="augA", crop=32,
+                      epochs=1, outroot=str(tmp_path / "out"),
+                      use_sam=False, batch_size=4)
+    state, outdir, metrics = train_experiment(cfg, progress=lambda *a: None)
+    assert os.path.isfile(os.path.join(outdir, "metrics.json"))
+    assert 0 <= metrics["f1"] <= 1
