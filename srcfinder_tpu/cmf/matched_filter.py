@@ -104,6 +104,9 @@ class MFResult(NamedTuple):
     nll: jax.Array         # (C, A) LOOCV negative log likelihoods
     mu: jax.Array          # (C, B) background means
     n: jax.Array           # (C,) valid-pixel counts
+    cond: jax.Array        # (C,) lam_min/lam_max of the whitened cov —
+    #                        f32 is trustworthy down to cond ~1e-6; below
+    #                        that run the f64 CPU path (see PARITY.md L2)
 
 
 def _loo_nll(lam, Z, logdiag, n, m, alphas, nchan):
@@ -112,7 +115,12 @@ def _loo_nll(lam, Z, logdiag, n, m, alphas, nchan):
     lam:     (C, B) eigenvalues of the whitened covariance
     Z:       (L, C, B) whitened, rotated, zero-mean data
     logdiag: (C, B) log of the whitener diagonal (log d, or log diag(cholT))
-    n:       (C,) valid counts; m: (L, C) valid mask; alphas: (A,)
+    n:       (C,) the count used for beta=(1-a)/(n-1), G=n*beta*S+a*T and
+             the 1/(2n) normalization — the FULL-COLUMN valid count even
+             for cluster fits (the reference passes ``nuse`` into
+             looshrinkage for every cluster, robust_mf.py:355-356,:110)
+    m:       (L, C) the rows actually summed (the cluster mask)
+    alphas:  (A,)
     returns nll: (C, A)
     """
     dt = Z.dtype
@@ -141,7 +149,8 @@ def _loo_nll(lam, Z, logdiag, n, m, alphas, nchan):
 
 @functools.partial(jax.jit, static_argnames=("model", "reflectance"))
 def matched_filter_columns(x, m, abscf, alphas, model: str = "looshrinkage",
-                           reflectance: bool = False, T=None, moments=None):
+                           reflectance: bool = False, T=None, moments=None,
+                           n_loo=None):
     """Robust matched filter over all columns simultaneously.
 
     x:      (L, C, B) active-window radiance (columns = detector samples)
@@ -153,6 +162,11 @@ def matched_filter_columns(x, m, abscf, alphas, model: str = "looshrinkage",
             ``regfull`` path passes the full-column covariance as
             regularizer, robust_mf.py:99, :353-356); default None uses
             ``diag(diag(S))``.
+    n_loo:  optional (C,) sample count for the LOOCV formula. The
+            reference passes the FULL-COLUMN valid count into
+            looshrinkage even for per-cluster fits (robust_mf.py:355-356)
+            — the multimodal driver threads it here; default None uses
+            the per-mask count (the unimodal case, where they coincide).
 
     Returns :class:`MFResult`. ``mf`` is in MF-score units; multiply by
     ``PPM_SCALING`` for ppm*m in radiance mode (done by the caller exactly
@@ -195,7 +209,8 @@ def matched_filter_columns(x, m, abscf, alphas, model: str = "looshrinkage",
     Z = jnp.einsum("lcb,cbk->lck", xc, Wmat)                       # (L, C, B)
 
     if model == "looshrinkage":
-        nll = _loo_nll(lam, Z, logdiag, n, m, alphas, B)           # (C, A)
+        nll = _loo_nll(lam, Z, logdiag, n if n_loo is None else n_loo,
+                       m, alphas, B)                               # (C, A)
         mindex = jnp.argmin(nll, axis=1)                           # (C,)
         has_min = jnp.isfinite(jnp.min(nll, axis=1))
         alpha = jnp.where(has_min, alphas[mindex], 0.0)            # fallback a=0
@@ -223,8 +238,9 @@ def matched_filter_columns(x, m, abscf, alphas, model: str = "looshrinkage",
     mf = jnp.einsum("lck,ck->lc", Z, y) / jnp.maximum(normalizer, 1e-300)[None, :]
 
     mf = jnp.where(m > 0, mf, 0.0) * jnp.where(ok, 1.0, 0.0)[None, :]
+    cond = jnp.clip(lam[:, 0], 0.0) / jnp.maximum(lam[:, -1], 1e-300)
     return MFResult(mf=mf, alpha_index=mindex, nll=nll, mu=mu,
-                    n=n.astype(jnp.int32))
+                    n=n.astype(jnp.int32), cond=cond)
 
 
 class MFMultimodalResult(NamedTuple):
@@ -244,16 +260,30 @@ def matched_filter_columns_multimodal(x, m, abscf, alphas, bgmodes: int,
     """Multimodal background MF: PCA + k-means column partitions, one
     covariance model per (column, mode) (reference: robust_mf.py:306-397).
 
-    Rejection semantics match the reference output: clusters with fewer
-    than ``1.2 * nbands`` samples are rejected when ``reject`` is set
-    (robust_mf.py:199-200, :321-324); rejected clusters' pixels carry no
-    estimate (they stay nodata in the written image — the reference's
-    ki<0 pass is fully overwritten by the positive modes, robust_mf.py:
-    339-386). If every cluster in a column is rejected, rejection is
-    disabled for that column (robust_mf.py:330-332). Deviation from the
-    reference recorded here: the reference cannot reject cluster id 0
-    (it flips the sign of the label, and -0 == 0); we treat cluster 0
-    like any other.
+    Rejection semantics: clusters with fewer than
+    ``int((nbands - 1) * 1.2)`` samples are rejected when ``reject`` is
+    set (robust_mf.py:199-200 computes int((active[1]-active[0])*1.2),
+    one less than the band count, :321-324); rejected clusters' pixels
+    carry no estimate (they stay nodata in the written image). If every
+    cluster in a column is rejected, rejection is disabled for that
+    column (robust_mf.py:330-332).
+
+    Recorded deviations from the reference in reject mode:
+    (a) the reference cannot reject cluster id 0 (it flips the label
+    sign, and -0 == 0, robust_mf.py:322); we treat cluster 0 like any
+    other; (b) the reference's ki<0 pass computes a POOLED estimate
+    over all non-rejected pixels and writes it to those pixels
+    (kmask = bglabels>=0, robust_mf.py:340,:381-386) — because
+    np.unique sorted labels BEFORE the sign flip, a rejected cluster
+    with the highest label id runs last and that pooled estimate
+    overwrites every positive mode's refined output. We keep each
+    mode's own estimate instead (the order-independent reading of the
+    documented intent); outputs therefore differ from the reference
+    whenever the rejected cluster is not label 0 or the smallest id.
+
+    Parity preserved: every cluster's looshrinkage uses the FULL-COLUMN
+    valid count for beta/(2n) (robust_mf.py:355-356) while moments come
+    from the cluster rows — threaded via ``n_loo``.
 
     ``regfull`` shrinks toward the full-column covariance instead of the
     diagonal (robust_mf.py:353-356; note cov() re-centers, so the
@@ -268,7 +298,9 @@ def matched_filter_columns_multimodal(x, m, abscf, alphas, bgmodes: int,
     z = masked_pca_project(x, m, pcadim)
     labels, _ = kmeans_columns(z, m, bgmodes, iters=kmeans_iters, seed=seed)
 
-    bgminsamp = int(B * 1.2)
+    # int((active[1]-active[0]) * 1.2) in the reference = one less than
+    # the band count (robust_mf.py:199-200)
+    bgminsamp = int((B - 1) * 1.2)
     onehot = (jax.nn.one_hot(labels, bgmodes, dtype=x.dtype)
               * m[:, :, None].astype(x.dtype))                     # (L, C, K)
     cnt = onehot.sum(axis=0)                                       # (C, K)
@@ -278,6 +310,7 @@ def matched_filter_columns_multimodal(x, m, abscf, alphas, bgmodes: int,
     rej = rej & ~all_rej[:, None]
 
     Tfull = masked_moments(x, m)[2] if regfull else None
+    n_full = m.astype(x.dtype).sum(axis=0)        # the reference's nuse
 
     mf = jnp.zeros((L, C), x.dtype)
     alpha_pix = jnp.full((L, C), -1, jnp.int32)
@@ -286,7 +319,8 @@ def matched_filter_columns_multimodal(x, m, abscf, alphas, bgmodes: int,
         mask_k = mbool & (labels == k)
         res_k = matched_filter_columns(x, mask_k.astype(x.dtype), abscf,
                                        alphas, model=model,
-                                       reflectance=reflectance, T=Tfull)
+                                       reflectance=reflectance, T=Tfull,
+                                       n_loo=n_full)
         use_k = mask_k & ~rej[:, k][None, :]
         mf = jnp.where(use_k, res_k.mf, mf)
         alpha_pix = jnp.where(use_k, res_k.alpha_index[None, :], alpha_pix)

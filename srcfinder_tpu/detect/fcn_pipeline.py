@@ -219,6 +219,11 @@ def fcn_phase_saliency(model: GoogLeNet, variables, img, scale: int = 32,
     """
     if scale != 32:
         raise ValueError("phase-dedup path requires scale == 32")
+    if mesh is None:
+        # single-device: the whole pipeline as ONE executable (one
+        # dispatch through the remote-TPU tunnel instead of six)
+        return _phase_saliency_fused(model, variables, jnp.asarray(img),
+                                     scale, tuple(chunks))
     h0, w0 = img.shape
     padded = divisibility_pad(jnp.asarray(img), scale)
     canvas = jnp.pad(padded, ((scale, scale), (scale, scale)))
@@ -257,9 +262,14 @@ def fcn_phase_saliency(model: GoogLeNet, variables, img, scale: int = 32,
     probs = _stage45_probs(model, variables, place(feats), fills[3],
                            fills[4], chunk45)         # (1024, h5, w5)
 
-    # phase-tree index -> shift index: digits (dt_k, dl_k) appended per
-    # level, t = sum dt_k * 2^(k-1), l likewise; preds must be ordered by
-    # i = t * scale + l for stitch_stack
+    preds = probs[jnp.asarray(_phase_order(scale))]
+    return stitch_stack((h0, w0), preds, scale)
+
+
+def _phase_order(scale: int) -> np.ndarray:
+    """Phase-tree index -> shift index permutation: digits (dt_k, dl_k)
+    appended per level, t = sum dt_k * 2^(k-1), l likewise; preds must
+    be ordered by i = t * scale + l for stitch_stack."""
     n = np.arange(scale * scale)
     t = np.zeros_like(n)
     l = np.zeros_like(n)
@@ -269,7 +279,25 @@ def fcn_phase_saliency(model: GoogLeNet, variables, img, scale: int = 32,
         l += (p % 2) * (1 << k)
     order = np.empty(scale * scale, dtype=np.int64)
     order[t * scale + l] = n
-    preds = probs[jnp.asarray(order)]
+    return order
+
+
+@functools.partial(jax.jit, static_argnames=("model", "scale", "chunks"))
+def _phase_saliency_fused(model: GoogLeNet, variables, img, scale: int,
+                          chunks):
+    h0, w0 = img.shape
+    padded = divisibility_pad(img, scale)
+    canvas = jnp.pad(padded, ((scale, scale), (scale, scale)))
+    hp = canvas.shape[0] - scale
+    wp = canvas.shape[1] - scale
+    feats = canvas[None, scale:scale + hp, scale:scale + wp, None]
+    fills = _background_constants(model, variables)
+    for stage, chunk in zip((1, 2, 3), chunks[:3]):
+        feats = _stage_all_phases(model, variables, feats,
+                                  fills[stage - 1], stage, chunk)
+    probs = _stage45_probs(model, variables, feats, fills[3], fills[4],
+                           chunks[3])
+    preds = probs[jnp.asarray(_phase_order(scale))]
     return stitch_stack((h0, w0), preds, scale)
 
 

@@ -100,6 +100,12 @@ def wind_mnstd(npoints: int, plumeloc, files, alt: int = 10, logger=None):
     3. npoints>1, 1 file  -> mean/std over npoints of that file
     4. npoints>1, >1 file -> mean/std over all npoints x files
 
+    Recorded deviation (intentional bug fix): in case 2 the reference
+    only fills its grandMeanStd accumulator inside the npoints>1 branch
+    (windspeed.py:300-309), so npoints==1 with multiple files returns
+    mean=0.0/std=0.0; here ``grand`` is filled unconditionally and case
+    2 returns the true mean/std of the per-file nearest points.
+
     Returns (mean, std, min_index, min_dist, per_file (n,2),
     [(file, [Y,M,D,h,m,s,us]), ...]).
     """

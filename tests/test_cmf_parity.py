@@ -188,3 +188,89 @@ def test_column_stats(rng):
     assert np.asarray(n)[2] == -9999
     np.testing.assert_allclose(np.asarray(avg)[0], mf[:, 0].mean(), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(std)[1], mf[:, 1].std(), rtol=1e-5)
+
+
+def oracle_cluster_fit(Icol, kmask, abscf, alphas, nuse_full,
+                       reflectance=False, I_reg=None):
+    """The reference's per-cluster fit (robust_mf.py:339-386): moments
+    from the CLUSTER rows, but looshrinkage's n = the FULL column count
+    (robust_mf.py:355-356 passes ``nuse``)."""
+    Icol_ki = Icol[kmask].astype(np.float64)
+    mu = Icol_ki.mean(axis=0)
+    I_zm = Icol_ki - mu
+    B = Icol.shape[1]
+    s = 100.0
+    X = I_zm * s
+    S = np.cov(X.T, ddof=1)
+    T = np.diag(np.diag(S)) if I_reg is None else np.cov((I_reg * s).T,
+                                                         ddof=1)
+    nll = np.full(len(alphas), np.inf)
+    nchanlog2pi = B * np.log(2 * np.pi)
+    for i, a in enumerate(alphas):
+        beta = (1 - a) / (nuse_full - 1.0)
+        G = nuse_full * (beta * S) + a * T
+        sign, logdet = np.linalg.slogdet(G)
+        if sign <= 0:
+            continue
+        r_k = (X @ np.linalg.inv(G) * X).sum(axis=1)
+        q = 1 - beta * r_k
+        if (q <= 0).any():
+            continue
+        nll[i] = (0.5 * (nchanlog2pi + logdet)
+                  + (np.log(q) + r_k / q).sum() / (2 * nuse_full))
+    mindex = int(np.argmin(nll))
+    alpha = alphas[mindex] if np.isfinite(nll[mindex]) else 0.0
+    S = np.cov(I_zm.T, ddof=1)
+    T = np.diag(np.diag(S)) if I_reg is None else np.cov(I_reg.T, ddof=1)
+    Cov = (1 - alpha) * S + alpha * T
+    Cinv = np.linalg.inv(Cov)
+    target = (abscf - mu) if reflectance else (abscf * mu)
+    mf = (I_zm @ Cinv @ target) / (target @ Cinv @ target)
+    return mf, mindex
+
+
+@pytest.mark.parametrize("regfull", [False, True])
+def test_parity_multimodal_cluster_nuse(problem, regfull):
+    """Per-cluster fits must use the FULL-COLUMN nuse in the LOOCV
+    (reference: robust_mf.py:355-356) while moments come from the
+    cluster rows — the n_loo threading in matched_filter_columns."""
+    x, abscf, alphas = problem
+    L, C, B = x.shape
+    m = np.asarray(mfmod.valid_mask(x))
+    # deterministic pseudo-clusters: alternate valid rows per column
+    order = np.cumsum(m, axis=0) - 1            # rank among valid rows
+    labels = (order % 2).astype(np.int32)
+
+    n_full = m.sum(axis=0).astype(np.float64)
+    Tfull = None
+    if regfull:
+        with jax.enable_x64(True):
+            Tfull = mfmod.masked_moments(
+                jax.numpy.where(jax.numpy.asarray(m)[:, :, None],
+                                x.astype(np.float64), 0.0),
+                jax.numpy.asarray(m.astype(np.float64)))[2]
+
+    for k in (0, 1):
+        mask_k = m & (labels == k)
+        with jax.enable_x64(True):
+            res = mfmod.matched_filter_columns(
+                x.astype(np.float64), mask_k.astype(np.float64), abscf,
+                alphas, T=Tfull, n_loo=jax.numpy.asarray(n_full))
+        mf = np.asarray(res.mf)
+        aidx = np.asarray(res.alpha_index)
+        for c in range(C):
+            use = np.where(m[:, c])[0]
+            kmask_use = labels[use, c] == k
+            if kmask_use.sum() < 3:
+                continue
+            Icol = x[use, c, :]
+            I_reg = None
+            if regfull:
+                Icol64 = Icol.astype(np.float64)
+                I_reg = Icol64 - Icol64[kmask_use].mean(axis=0)
+            ref_mf, ref_idx = oracle_cluster_fit(
+                Icol, kmask_use, abscf, alphas, float(len(use)),
+                I_reg=I_reg)
+            assert aidx[c] == ref_idx
+            got = mf[use, c][kmask_use]
+            np.testing.assert_allclose(got, ref_mf, rtol=1e-5, atol=1e-7)

@@ -112,11 +112,15 @@ def test_multimodal_recovers_known_partition(rng):
         assert agree > 0.99 or agree < 0.01
 
         mf_mm = np.asarray(res.mf)
-        # reference per-partition unimodal MF
+        # reference per-partition MF; the reference passes the FULL
+        # column count into each cluster's looshrinkage
+        # (robust_mf.py:355-356), threaded here as n_loo
+        n_full = np.asarray(m).sum(axis=0).astype(np.float64)
         for part in (0, 1):
             pm = np.asarray(m) * (true_lab == part)
             r = mfmod.matched_filter_columns(x, pm.astype(np.float64),
-                                             abscf, alphas)
+                                             abscf, alphas,
+                                             n_loo=jax.numpy.asarray(n_full))
             mf_part = np.asarray(r.mf)
             sel = pm > 0
             np.testing.assert_allclose(mf_mm[sel], mf_part[sel],
