@@ -30,6 +30,10 @@ def build_parser():
     p.add_argument("--train-all", action="store_true",
                    help="Train on the entire dataset")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", default=None,
+                   help="weights .npz from a previous run to restore")
+    p.add_argument("--start-epoch", type=int, default=0,
+                   help="epoch to continue the LR schedule from")
     return p
 
 
@@ -40,7 +44,8 @@ def main(argv=None):
                       augment=args.augment, crop=args.crop,
                       epochs=args.epochs, outroot=args.outroot,
                       use_sam=not args.no_sam, batch_size=args.batch,
-                      train_all=args.train_all, seed=args.seed)
+                      train_all=args.train_all, seed=args.seed,
+                      resume=args.resume, start_epoch=args.start_epoch)
     _, outdir, metrics = train_experiment(cfg)
     print(f"experiment dir: {outdir}")
     print(f"best-F1 threshold {metrics['threshold']:.3f} "

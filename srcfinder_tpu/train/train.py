@@ -30,7 +30,13 @@ __all__ = ["TrainConfig", "train_experiment", "evaluate_threshold",
 class TrainConfig:
     def __init__(self, dataroot, campaign, lr=1e-4, augment="default",
                  crop=256, epochs=100, outroot="cnn_output", use_sam=True,
-                 batch_size=16, train_all=False, seed=0, aux_weight=0.0):
+                 batch_size=16, train_all=False, seed=0, aux_weight=0.0,
+                 resume=None, start_epoch=0):
+        """``resume``: a weights .npz from a previous run — params and
+        batch_stats are restored before training (the reference resumes
+        by loading the every-5-epochs torch.save,
+        experiment_script_all.py:406-408). ``start_epoch`` continues the
+        StepLR schedule from that epoch."""
         self.__dict__.update(locals())
         del self.__dict__["self"]
 
@@ -141,6 +147,11 @@ def train_experiment(cfg: TrainConfig, progress=print):
     # only when train=True, mirroring torch's training-only aux forward)
     variables = model.init({"params": kinit, "dropout": kdrop},
                            jnp.zeros((1, cfg.crop, cfg.crop, 1)), train=True)
+    if cfg.resume:
+        progress(f"Resuming weights from {cfg.resume}")
+        tree = load_checkpoint(cfg.resume)
+        variables = {"params": tree["params"],
+                     "batch_stats": tree["batch_stats"]}
     optimizer = make_inner_optimizer()
     opt_state = optimizer.init(variables["params"])
     state = TrainState(variables["params"], variables["batch_stats"],
@@ -155,7 +166,7 @@ def train_experiment(cfg: TrainConfig, progress=print):
     val_epoch_losses = [["epoch", "mean val loss"]]
     wce = jnp.asarray(weights)
 
-    for epoch in range(cfg.epochs):
+    for epoch in range(cfg.start_epoch, cfg.epochs):
         t0 = time.time()
         lr = step_lr(cfg.lr, cfg.epochs, epoch)
         epoch_loss, nb = 0.0, 0

@@ -21,12 +21,17 @@ __all__ = ["load_systematics_list", "validate_systematics",
 
 
 def load_systematics_list(path):
-    """Parse the curated list: lines of '<flightline> <severity>'
-    (severity in {0, 0.5, 1, 2})."""
+    """Parse the curated list: lines of '<flightline>, <severity>'
+    (severity in {0, 0.5, 1, 2}; the real COVID_systematics.txt is
+    comma-separated — whitespace accepted too)."""
     names, sev = [], []
     with open(path) as f:
         for line in f:
-            parts = line.split()
+            line = line.strip()
+            if not line:
+                continue
+            parts = [p.strip() for p in
+                     (line.split(",") if "," in line else line.split())]
             if len(parts) >= 2:
                 names.append(parts[0])
                 sev.append(float(parts[1]))

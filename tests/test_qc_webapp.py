@@ -217,3 +217,32 @@ def test_webapp_wmts_and_bounds(app):
     assert b["width"] == 20 and b["height"] == 30
     assert 30 < b["lat_min"] < b["lat_max"] < 40
     assert -125 < b["lon_min"] < b["lon_max"] < -110
+
+
+def test_webapp_click_coordinate_mapping(app):
+    """The browser-level contract: a click at CSS pixel (offsetX,
+    offsetY) on the (integer-magnified, viewport-cropped) image must map
+    to the intended image pixel. This replays the page's exact JS math
+    (addCand in webapp._PAGE: x = v0 + offsetX*(v2-v0)/img.width) against
+    the served PNG dimensions, then round-trips through /api/add ->
+    latlon2sl."""
+    app_, name = app
+    # zoomed viewport around (row 12, col 6): the zoomTo(64) window
+    # clipped to the 20x30 image
+    v = (2, 8, 12, 18)                       # x0, y0, x1, y1
+    png = _get(app_, f"/img?fl={name}&layers=rgb,cmf"
+                     f"&x0={v[0]}&y0={v[1]}&x1={v[2]}&y1={v[3]}")
+    w, h = _png_size(png)
+    # click in the middle of target pixel (col 6, row 12) on screen
+    scale_x, scale_y = w / (v[2] - v[0]), h / (v[3] - v[1])
+    off_x = (6 - v[0] + 0.5) * scale_x
+    off_y = (12 - v[1] + 0.5) * scale_y
+    x = int((v[0] + off_x * (v[2] - v[0]) / w))   # the page's formula
+    y = int((v[1] + off_y * (v[3] - v[1]) / h))
+    assert (x, y) == (6, 12)
+    _post(app_, "/api/add", {"fl": name, "row": y, "col": x,
+                             "label": "Plume"})
+    cands = json.loads(_get(app_, f"/api/candidates?fl={name}"))
+    c = cands[-1]
+    # server round-trips lat/lon -> (col,row) back to the clicked pixel
+    assert abs(c["col"] - 6) < 1.0 and abs(c["row"] - 12) < 1.0

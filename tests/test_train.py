@@ -256,3 +256,36 @@ def test_tiny_experiment_geotiff(tmp_path, rng):
     state, outdir, metrics = train_experiment(cfg, progress=lambda *a: None)
     assert os.path.isfile(os.path.join(outdir, "metrics.json"))
     assert 0 <= metrics["f1"] <= 1
+
+
+def test_resume_from_checkpoint(tmp_path, rng):
+    """Resume semantics (the reference resumes by loading the
+    every-5-epochs torch.save, experiment_script_all.py:406-408):
+    weights restored, LR schedule continued from start_epoch."""
+    from srcfinder_tpu.train import (TrainConfig, train_experiment,
+                                     load_checkpoint)
+    droot = _make_tile_campaign(tmp_path, rng, size=40)
+    cfg = TrainConfig(droot, "COVID_QC", lr=1e-3, augment="augA", crop=32,
+                      epochs=1, outroot=str(tmp_path / "o1"),
+                      use_sam=False, batch_size=4)
+    state1, outdir1, _ = train_experiment(cfg, progress=lambda *a: None)
+    finals = [f for f in os.listdir(os.path.join(outdir1, "weights"))
+              if f.startswith("final")]
+    ckpt = os.path.join(outdir1, "weights", finals[0])
+
+    cfg2 = TrainConfig(droot, "COVID_QC", lr=1e-3, augment="augA", crop=32,
+                       epochs=2, outroot=str(tmp_path / "o2"),
+                       use_sam=False, batch_size=4, resume=ckpt,
+                       start_epoch=1)
+    state2, outdir2, metrics = train_experiment(cfg2,
+                                                progress=lambda *a: None)
+    # resumed run trained: params differ from the checkpoint
+    tree = load_checkpoint(ckpt)
+    w0 = np.asarray(tree["params"]["conv1"]["conv"]["kernel"])
+    w2 = np.asarray(state2.params["conv1"]["conv"]["kernel"])
+    assert not np.allclose(w0, w2)
+    # and only epochs start_epoch..epochs-1 ran (epoch_losses has 1 row)
+    with open(os.path.join(outdir2, "epoch_losses.csv")) as f:
+        rows = [r for r in f.read().splitlines() if r][1:]
+    assert len(rows) == 1 and rows[0].startswith("1,")
+    assert 0 <= metrics["f1"] <= 1

@@ -117,3 +117,101 @@ def test_plot_stats(tmp_path, rng):
                             use_robust_stats=True, ncols_fpa=30)
     assert os.path.getsize(pdf1) > 1000
     assert os.path.getsize(pdf2) > 1000
+
+
+def test_covid_oracle_harness(tmp_path, rng):
+    """End-to-end COVID oracle: comma-separated curated list, profile
+    CSVs regenerated from (synthetic) CMFs for some flightlines and
+    pre-existing for others, reference-format report, --expected
+    verification (reference: COVID_systematics_ID_Deliver.py +
+    COVID_Example_Output.txt)."""
+    import pandas as pd
+    from srcfinder_tpu.core import envi as envi_io
+    from srcfinder_tpu.triage import covid
+
+    ncols = 60
+    names, sev = [], []
+    cmfdir = tmp_path / "cmfs"
+    statsdir = tmp_path / "stats"
+    os.makedirs(cmfdir)
+    os.makedirs(statsdir)
+
+    def make_med(systematic):
+        # smooth cross-track profile: plenty of meanAD in the detector's
+        # denominator, no single-column spikes (clean lines must not
+        # flag; a flat profile with noise would trip ~2% of columns)
+        med = (500 + 30 * np.sin(np.linspace(0, 3, ncols))
+               + rng.normal(0, 0.5, ncols))
+        if systematic:
+            med[::7] += 500.0        # columnwise spikes
+        return med
+
+    for i, s in enumerate([0, 0, 0.5, 1, 2, 0, 1, 2]):
+        name = f"ang2020070{i}t00000{i}_ch4mf_v2y1_img"
+        names.append(name)
+        sev.append(s)
+        med = make_med(s >= 1)
+        if i % 2 == 0:
+            # pre-existing CSV (the reference's _clip spelling)
+            df = pd.DataFrame({
+                "npix": np.full(ncols, 100), "med": med,
+                "mad": np.full(ncols, 5.0), "p05": med - 10,
+                "p95": med + 10})
+            df.to_csv(statsdir / f"{name}_clip_column_stats.csv",
+                      index=False)
+        else:
+            # real CMF: profile must be regenerated. Build a 4-band CMF
+            # whose last band has per-column median ~= med.
+            L = 80
+            cmf = np.zeros((L, ncols, 4), np.float32)
+            cmf[..., 3] = med[None, :] + rng.normal(0, 5, (L, ncols))
+            envi_io.save_envi(str(cmfdir / (name + ".hdr")), cmf,
+                              metadata={"data ignore value": -9999},
+                              interleave="bip")
+
+    curated = tmp_path / "COVID_systematics.txt"
+    with open(curated, "w") as f:
+        for n, s in zip(names, sev):
+            f.write(f"{n}, {s}\n")      # the real file's comma format
+
+    report, text = covid.run_covid_oracle(
+        str(curated), str(statsdir), str(cmfdir),
+        progress=lambda *a: None)
+    # severities 0,0,0.5 and clean -> strict none_tp = 3; spiky 1/2s
+    # detected -> any_tp = 4 (sev 1,2,1,2); maybe (0.5, clean) counted
+    # as FP under strict? it has no spikes -> result 0 -> strict any_fn
+    assert report["strict"]["none_tp"] == 3
+    assert report["strict"]["any_tp"] == 4
+    assert report["strict"]["any_fn"] == 1      # the clean 0.5
+    assert report["loose"]["none_tp"] == 4      # 0.5 counted as none
+    assert report["strong_tp"] == 2 and report["weak_tp"] == 2
+
+    # reference-format output + --expected verification path
+    assert "***STRICT COVID TEST STATISTICS***" in text
+    assert "Successful Completion" in text
+    expectedf = tmp_path / "expected.txt"
+    with open(expectedf, "w") as f:
+        f.write(text)
+    rc = covid.main([str(curated), "--stats-dir", str(statsdir),
+                     "--cmf-dir", str(cmfdir),
+                     "--expected", str(expectedf)])
+    assert rc == 0
+    # a count mismatch is detected
+    with open(expectedf, "w") as f:
+        f.write(text.replace("No Systematics (True Positive) = 3",
+                             "No Systematics (True Positive) = 99"))
+    rc = covid.main([str(curated), "--stats-dir", str(statsdir),
+                     "--cmf-dir", str(cmfdir),
+                     "--expected", str(expectedf)])
+    assert rc == 1
+
+
+def test_curated_list_comma_format(tmp_path):
+    from srcfinder_tpu.triage.systematics import load_systematics_list
+    p = tmp_path / "c.txt"
+    with open(p, "w") as f:
+        f.write("ang20200708t192518_ch4mf_v2y1_img, 2\n")
+        f.write("ang20200708t193143_ch4mf_v2y1_img, 0.5\n")
+    names, sev = load_systematics_list(str(p))
+    assert names[0] == "ang20200708t192518_ch4mf_v2y1_img"  # no comma
+    assert sev.tolist() == [2.0, 0.5]
