@@ -155,7 +155,8 @@ def _geokeys(m):
     return keys
 
 
-def write_geotiff(path, arr, mapinfo=None, nodata=None, compress=None):
+def write_geotiff(path, arr, mapinfo=None, nodata=None, compress=None,
+                  geotransform=None, epsg=None):
     """Write (H, W) or (H, W, bands) as a GeoTIFF.
 
     ``mapinfo``: ENVI map-info dict (see core.geo.mapinfo) or None for a
@@ -164,6 +165,8 @@ def write_geotiff(path, arr, mapinfo=None, nodata=None, compress=None):
     the same reason, cmftagger/util.py:408-489).
     ``compress``: None or "lzw" (the reference's saliency export mode,
     cnn/cnn_pred_pipeline.py:191-202).
+    ``geotransform``/``epsg``: direct georeferencing override (e.g. the
+    EPSG:3857 web-mercator cache, qc/gtif.py) instead of ``mapinfo``.
     """
     arr = np.asarray(arr)
     if arr.ndim == 2:
@@ -203,13 +206,18 @@ def write_geotiff(path, arr, mapinfo=None, nodata=None, compress=None):
     tag(339, _TYPE_SHORT, bands,
         struct.pack(f"<{bands}H", *([sf] * bands)))
 
-    if mapinfo:
-        gt = mapinfo_to_geotransform(mapinfo)
+    if mapinfo or geotransform is not None:
+        gt = geotransform if geotransform is not None \
+            else mapinfo_to_geotransform(mapinfo)
         tag(33550, _TYPE_DOUBLE, 3,
             struct.pack("<3d", gt[1], -gt[5], 0.0))          # pixel scale
         tag(33922, _TYPE_DOUBLE, 6,
             struct.pack("<6d", 0, 0, 0, gt[0], gt[3], 0))    # tiepoint
-        keys = _geokeys(mapinfo)
+        if epsg is not None:
+            keys = [(1024, 0, 1, 1), (1025, 0, 1, 1),
+                    (3072, 0, 1, int(epsg))]
+        else:
+            keys = _geokeys(mapinfo)
         if keys:
             kd = [(1, 1, 0, len(keys))] + keys
             flat = [v for k in kd for v in k]

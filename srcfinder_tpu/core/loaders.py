@@ -221,3 +221,49 @@ def smoothbil(img, mask, d, sigma_color, sigma_space, normalize=True):
         imin, imax = extrema(img[~mask])
     imgn = bilateralFilter(imgn, d, sigma_color, sigma_space)
     return imin + imgn * (imax - imin)
+
+
+def retrieve_rgb(rgbf, fetcher=None):
+    """Fetch an AVIRIS-NG RGB quicklook from avirisng.jpl.nasa.gov
+    (reference: srcfinder_util.py:1803-1832). Returns 0 on success
+    (including already-present), nonzero on failure, like the
+    reference's wget return code.
+
+    ``fetcher(url, dest_path) -> None`` is injectable — this
+    environment has no network egress, so the default urllib fetcher is
+    only exercised with injected fakes in tests; the URL scheme (y{YY}
+    _RGB vs the 2017 qlook path) is the reference's.
+    """
+    import os
+    import re
+
+    if os.path.exists(rgbf):
+        return 0
+    base = os.path.basename(rgbf)
+    m = re.match(r"(ang\d{8}t\d{6})", base)
+    if not m:
+        raise ValueError("retrieve_rgb only works with AVIRIS-NG "
+                         f"flightlines (got {base!r})")
+    lid = m.group(1)
+    year = lid[5:7]
+    url_root = "https://avirisng.jpl.nasa.gov"
+    if year != "17":
+        url = f"{url_root}/aviris_locator/y{year}_RGB/{base}"
+    else:
+        url = f"{url_root}/ql/{year}qlook/{lid}_geo.jpeg"
+
+    if fetcher is None:
+        def fetcher(u, dest):
+            import urllib.request
+            urllib.request.urlretrieve(u, dest)
+
+    try:
+        os.makedirs(os.path.dirname(rgbf) or ".", exist_ok=True)
+        fetcher(url, rgbf)
+        return 0 if os.path.exists(rgbf) else 1
+    except Exception as e:
+        import logging
+        logging.getLogger(__name__).warning(
+            "retrieve_rgb: %s not found and unable to retrieve (%s)",
+            rgbf, e)
+        return 1

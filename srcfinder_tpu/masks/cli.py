@@ -41,6 +41,13 @@ def build_parser():
     p.add_argument("--visible-mask-growing-threshold", type=float,
                    default=9.0, dest="vis_thr")
     p.add_argument("-o", "--overwrite", action="store_true")
+    p.add_argument("--store-in", default=None,
+                   help="object-store URI (s3://bucket/prefix or a local "
+                        "dir) to FETCH radiance from before processing — "
+                        "the AWS Batch variant's surface (reference: "
+                        "deployment/spectrometer-masks/masks_sds.py:261-330)")
+    p.add_argument("--store-out", default=None,
+                   help="object-store URI to UPLOAD the mask products to")
     p.add_argument("-h", "--help", action="help")
     return p
 
@@ -68,10 +75,24 @@ def main(argv=None):
     with open(args.txt) as fd:
         files = fd.read().splitlines()
 
+    store_in = store_out = None
+    if args.store_in:
+        from ..flow.objectstore import open_store
+        store_in, _ = open_store(args.store_in)
+    if args.store_out:
+        from ..flow.objectstore import open_store
+        store_out, _ = open_store(args.store_out)
+
     for f_txt in files:
         if not f_txt.strip():
             continue
         print("Processing flight", f_txt)
+        if store_in is not None:
+            os.makedirs(args.inpath, exist_ok=True)
+            for ext in (".hdr", ""):
+                if store_in.exists(f_txt + ext):
+                    store_in.get(f_txt + ext,
+                                 os.path.join(args.inpath, f_txt + ext))
         rdn = envi_io.open_envi(os.path.join(args.inpath, f_txt + ".hdr"))
         wavelengths = np.array(rdn.bands.centers)
         # band indices resolved from wavelengths: on real AVIRIS-NG these
@@ -119,6 +140,11 @@ def main(argv=None):
         envi_io.save_envi(os.path.join(args.outpath, outname + ".hdr"), out,
                           metadata=meta, interleave="bil",
                           force=args.overwrite or True)
+        if store_out is not None:
+            for ext in (".hdr", ""):
+                src = os.path.join(args.outpath, outname + ext)
+                if os.path.isfile(src):
+                    store_out.put(src, outname + ext)
         print("Generated " + outname)
     print("Completed all scenes")
     return 0

@@ -209,3 +209,35 @@ def test_cli_smoke(tmp_path, rng):
     assert rc == 0
     img = envi_io.open_envi(outfile)
     assert img.nbands == 4
+
+
+def test_sharded_multimodal_matches_single_device(rng):
+    """Multimodal CMF with the column axis sharded over the 8-device CPU
+    mesh == single device (VERDICT r1 item 9)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from srcfinder_tpu.parallel import make_mesh
+
+    L, C, B = 96, 16, 8
+    x = np.abs(rng.normal(4.0, 1.0, size=(L, C, B))).astype(np.float32) + 0.5
+    x[:L // 2] += 4.0                      # two background modes
+    abscf = (-np.abs(rng.normal(size=B)) * 0.1).astype(np.float32)
+    alphas = mfmod.default_alphas(np.float32)
+    m = np.asarray(mfmod.valid_mask(x)).astype(np.float32)
+
+    ref = mfmod.matched_filter_columns_multimodal(
+        jnp.asarray(x), jnp.asarray(m), jnp.asarray(abscf),
+        jnp.asarray(alphas), bgmodes=2, pcadim=4)
+
+    mesh = make_mesh(8, axis_names=("data",))
+    xs = jax.device_put(jnp.asarray(x),
+                        NamedSharding(mesh, P(None, "data", None)))
+    ms = jax.device_put(jnp.asarray(m), NamedSharding(mesh, P(None, "data")))
+    got = mfmod.matched_filter_columns_multimodal(
+        xs, ms, jnp.asarray(abscf), jnp.asarray(alphas), bgmodes=2,
+        pcadim=4)
+    np.testing.assert_allclose(np.asarray(got.mf), np.asarray(ref.mf),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.labels),
+                                  np.asarray(ref.labels))

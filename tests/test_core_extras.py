@@ -268,3 +268,34 @@ def test_geotiff_lzw_external_writer(tmp_path, rng):
     PIL.fromarray(arr).save(p, format="TIFF", compression="tiff_lzw")
     back, _ = geotiff.read_geotiff(p)
     np.testing.assert_array_equal(back, arr)
+
+
+def test_retrieve_rgb_injectable_fetcher(tmp_path):
+    """retrieve_rgb analog (reference: srcfinder_util.py:1803-1832) with
+    an injected fetcher (zero-egress environment)."""
+    calls = []
+
+    def fake_fetch(url, dest):
+        calls.append(url)
+        with open(dest, "wb") as f:
+            f.write(b"\x89PNG fake")
+
+    rgbf = str(tmp_path / "ang20200924t211102_RGB.jpeg")
+    assert loaders.retrieve_rgb(rgbf, fetcher=fake_fetch) == 0
+    assert "y20_RGB" in calls[0] and "avirisng.jpl.nasa.gov" in calls[0]
+    # idempotent: present file short-circuits
+    assert loaders.retrieve_rgb(rgbf, fetcher=fake_fetch) == 0
+    assert len(calls) == 1
+    # the 2017 qlook URL scheme
+    rgbf17 = str(tmp_path / "ang20170924t211102_RGB.jpeg")
+    loaders.retrieve_rgb(rgbf17, fetcher=fake_fetch)
+    assert "/ql/17qlook/ang20170924t211102_geo.jpeg" in calls[1]
+    # failure path returns nonzero
+    def bad_fetch(url, dest):
+        raise OSError("no route")
+    assert loaders.retrieve_rgb(str(tmp_path / "ang20190101t000000.j"),
+                                fetcher=bad_fetch) == 1
+    # non-AVIRIS names rejected
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        loaders.retrieve_rgb(str(tmp_path / "foo.jpeg"))

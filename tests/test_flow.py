@@ -911,3 +911,41 @@ def test_msf_flow_reads_xlsx_plume_list(tmp_path):
     assert out[0]["Candidate ID"] == "ang20200924t211102-1"
     assert float(out[0]["Plume Latitude (deg)"]) == 34.5
     assert out[0]["Minimum Threshold (ppmm)"] == 500
+
+
+def test_object_store_local(tmp_path):
+    """The S3 surface with the local backend (reference communicates
+    between stages exclusively through S3 objects,
+    deployment/README.md:1-27)."""
+    from srcfinder_tpu.flow.objectstore import (LocalObjectStore,
+                                                open_store, split_uri)
+    root = str(tmp_path / "bucket")
+    store = LocalObjectStore(root)
+    src = tmp_path / "a.txt"
+    src.write_text("hello")
+    store.put(str(src), "plumes/a.txt")
+    assert store.exists("plumes/a.txt")
+    assert not store.exists("plumes/b.txt")
+    assert store.list("plumes/") == ["plumes/a.txt"]
+    dest = str(tmp_path / "out" / "a.txt")
+    store.get("plumes/a.txt", dest)
+    assert open(dest).read() == "hello"
+    with pytest.raises(ValueError):
+        store.get("../../etc/passwd", str(tmp_path / "x"))
+
+    assert split_uri("s3://buck/k/ey") == ("s3", "buck", "k/ey")
+    assert split_uri("file:///d/ir") == ("file", "", "/d/ir")
+    assert split_uri("/d/ir") == ("file", "", "/d/ir")
+    st, key = open_store(root)
+    assert key == "" and st.exists("plumes/a.txt")
+
+
+def test_object_store_s3_gated():
+    from srcfinder_tpu.flow.objectstore import S3ObjectStore
+    try:
+        import boto3  # noqa: F401
+        pytest.skip("boto3 unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="boto3"):
+        S3ObjectStore("bucket")

@@ -127,3 +127,45 @@ def test_mask_output_name():
     from srcfinder_tpu.masks.cli import mask_output_name
     assert (mask_output_name("ang20200924t211102_rdn_v2x1_img")
             == "ang20200924t211102_msk_v2x1_img")
+
+
+def test_masks_cli_through_object_store(tmp_path, rng):
+    """The AWS Batch variant's surface: fetch radiance from an object
+    store, process, upload the mask (reference:
+    deployment/spectrometer-masks/masks_sds.py:261-330) — exercised with
+    the local backend."""
+    from srcfinder_tpu.core import envi as envi_io
+    from srcfinder_tpu.flow.objectstore import LocalObjectStore
+    from srcfinder_tpu.masks import cli as masks_cli
+
+    L, C, B = 30, 12, 425
+    x = np.abs(rng.normal(3.0, 0.5, size=(L, C, B))).astype(np.float32)
+    meta = {"data ignore value": -9999,
+            "wavelength": list(np.linspace(380, 2500, B)),
+            "map info": ["UTM", "1", "1", "272247", "3992010", "5.0",
+                         "5.0", "11", "North", "WGS-84", "units=Meters",
+                         "rotation=0"]}
+    staging = tmp_path / "staging"
+    name = "ang20200924t211102_rdn_v2y1_img"
+    local = tmp_path / "local"
+    os.makedirs(local)
+    envi_io.save_envi(str(local / (name + ".hdr")), x, metadata=meta,
+                      interleave="bil")
+    inbucket = LocalObjectStore(str(tmp_path / "in_bucket"))
+    inbucket.put(str(local / (name + ".hdr")), name + ".hdr")
+    inbucket.put(str(local / name), name)
+
+    txt = tmp_path / "flights.txt"
+    txt.write_text(name + "\n")
+    outpath = tmp_path / "out"
+    os.makedirs(outpath)
+    rc = masks_cli.main([
+        "--txt", str(txt), "--inpath", str(staging),
+        "--outpath", str(outpath),
+        "--store-in", str(tmp_path / "in_bucket"),
+        "--store-out", str(tmp_path / "out_bucket")])
+    assert rc == 0
+    outname = name.replace("_rdn_", "_msk_")
+    outbucket = LocalObjectStore(str(tmp_path / "out_bucket"))
+    assert outbucket.exists(outname + ".hdr")
+    assert outbucket.exists(outname)

@@ -179,3 +179,72 @@ def test_save_classlabs(tmp_path):
     d = json.load(open(f))
     assert d["positive"] == [qc.PLUMELAB, qc.SUPERLAB]
     assert "Ambiguous" in d["ambiguous"]
+
+
+def test_gtif_cache_roundtrip(tmp_path, rng):
+    """EPSG:3857 warp cache (reference: cmftagger/util.py:408-489):
+    georeferencing verified by inverse-projecting a known pixel, LZW
+    GeoTIFF output, idempotent cache, lockfile protocol, parallel
+    precache."""
+    import time
+    import threading
+    from srcfinder_tpu.core import envi as envi_io
+    from srcfinder_tpu.core.geo import sl2latlon
+    from srcfinder_tpu.qc.gtif import (img_to_gtif, load_cache_gtif,
+                                       precache_gtifs)
+    from srcfinder_tpu.qc.labels import lnglat_to_meters
+
+    h, w = 40, 30
+    dat = np.zeros((h, w, 4), np.float32)
+    dat[..., 3] = np.arange(h * w, dtype=np.float32).reshape(h, w)
+    meta = {"data ignore value": -9999,
+            "map info": ["UTM", "1", "1", "391000", "3786000", "3.0",
+                         "3.0", "11", "North", "WGS-84", "units=Meters",
+                         "rotation=0"]}
+    imgf = str(tmp_path / "ang_x_cmf_img")
+    envi_io.save_envi(imgf + ".hdr", dat, metadata=meta, interleave="bip")
+    cache = str(tmp_path / "gtifs")
+
+    arr, gmeta = load_cache_gtif(imgf, cache)
+    assert gmeta["epsg"] == 3857
+    assert arr.shape[2] == 4
+    gt = gmeta["geotransform"]
+    # pick the source pixel (line 10, sample 7), project to mercator,
+    # find its target cell, and check the nearest-sampled value
+    lat, lon = sl2latlon(7.0, 10.0, mapinfo={
+        "proj": "UTM", "ulx": 391000.0, "uly": 3786000.0, "xps": 3.0,
+        "yps": 3.0, "zone": "11", "hemi": "North", "rotation": 0.0})
+    mx, my = lnglat_to_meters(float(lon), float(lat))
+    j = int(round((mx - gt[0]) / gt[1] - 0.5))
+    i = int(round((my - gt[3]) / gt[5] - 0.5))
+    assert arr[i, j, 3] == dat[10, 7, 3]
+
+    # idempotent: second call reuses the file (same mtime)
+    outf = img_to_gtif(imgf, cache)
+    m1 = os.path.getmtime(outf)
+    img_to_gtif(imgf, cache)
+    assert os.path.getmtime(outf) == m1
+
+    # lockfile: a held lock blocks until released, then reuses
+    lock = outf + ".lock"
+    os.remove(outf)
+    with open(lock, "w"):
+        pass
+    def release():
+        time.sleep(0.3)
+        from srcfinder_tpu.core.geotiff import write_geotiff
+        write_geotiff(outf, np.zeros((2, 2), np.float32))
+        os.remove(lock)
+    t = threading.Thread(target=release)
+    t.start()
+    got = img_to_gtif(imgf, cache)
+    t.join()
+    assert got == outf and os.path.isfile(outf)
+
+    # parallel precache over two images
+    imgf2 = str(tmp_path / "ang_y_cmf_img")
+    envi_io.save_envi(imgf2 + ".hdr", dat, metadata=meta,
+                      interleave="bip")
+    outs = precache_gtifs([imgf, imgf2], cache, workers=2,
+                          overwrite=True)
+    assert all(os.path.isfile(o) for o in outs) and len(outs) == 2
