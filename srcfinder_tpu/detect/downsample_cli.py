@@ -1,7 +1,7 @@
 """CLI: gaussian-PSF downsampling of a flightline
 (reference: cnn/posthoc_down.py argparse surface: srcfl dstfl [-res R]
-[--nodata V]; the --preproc gdalwarp north-up step is not needed — the
-resample operates on the raster grid directly).
+[--nodata V]; rotated inputs are warped north-up first exactly like the
+reference's gdalwarp preproc, posthoc_down.py:50-60 — via core.warp).
 
 usage: srcfinder-downsample SRC DST [-r 30] [--band 1] [--nodata -9999]
 """
@@ -38,6 +38,10 @@ def main(argv=None):
     data = np.asarray(img.open_memmap(interleave="bip")[..., args.band - 1],
                       dtype=np.float32)
     m = mapinfo(img)
+    if m and float(m.get("rotation", 0) or 0) != 0:
+        from ..core.warp import warp_north_up
+        data, m = warp_north_up(data, m, nodata=args.nodata)
+        print("warped rotated input north-up")
     src_res = float(m["xps"]) if m else 1.0
     out = np.asarray(gaussian_downsample(data, src_res, args.res,
                                          nodata=args.nodata))

@@ -112,3 +112,34 @@ def test_zone_epsg_helpers():
     assert geo.utmzone2epsg(33, "S") == 32733
     assert geo.epsg2utmzone(32611) == (11, "N")
     assert geo.geo2utmzone(-118.17, 34.2) == (11, "N")
+
+
+def test_warp_north_up(rng):
+    """North-up warp of a rotated raster (reference shells gdalwarp,
+    posthoc_down.py:50-60): every output pixel's map coordinate must
+    inverse-map to the source pixel whose value it carries."""
+    from srcfinder_tpu.core.warp import warp_north_up
+    from srcfinder_tpu.core.geo import xy2sl
+
+    h, w = 24, 16
+    data = np.arange(h * w, dtype=np.float32).reshape(h, w)
+    m = dict(proj="UTM", xtie=1.0, ytie=1.0, ulx=391000.0, uly=3786000.0,
+             xps=3.0, yps=3.0, zone="11", hemi="North", rotation=17.0)
+    out, m2 = warp_north_up(data, m, nodata=-9999.0)
+    assert m2["rotation"] == 0.0
+    assert out.shape[0] >= h and out.shape[1] >= w   # bbox grows
+    valid = out != -9999.0
+    assert valid.sum() > 0.6 * h * w                 # most pixels carried
+    # verify a handful of output pixels against the inverse transform
+    ys, xs = np.where(valid)
+    for i in range(0, len(ys), max(1, len(ys) // 10)):
+        yy, xx = ys[i], xs[i]
+        mx = m2["ulx"] + m2["xps"] * xx
+        my = m2["uly"] - m2["yps"] * yy
+        s, l = xy2sl(mx, my, mapinfo=m)
+        si, li = int(round(float(s))), int(round(float(l)))
+        assert out[yy, xx] == data[li, si]
+    # rotation 0 is a no-op
+    m0 = dict(m, rotation=0.0)
+    same, m3 = warp_north_up(data, m0)
+    assert same is data and m3 is m0
