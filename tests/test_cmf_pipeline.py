@@ -241,3 +241,20 @@ def test_sharded_multimodal_matches_single_device(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(got.labels),
                                   np.asarray(ref.labels))
+
+
+def test_cli_multimodal_smoke(tmp_path, rng):
+    """CLI with -k 2 -f -r -m (multimodal + regfull + reject + bgmeta) —
+    the reference's full flag surface (robust_mf.py:139-167)."""
+    from srcfinder_tpu.cmf import cli
+    infile, libf, x, lib = _write_flightline(tmp_path, rng, L=64, C=4)
+    outfile = str(tmp_path / "cli_mm_out")
+    rc = cli.main([infile, libf, outfile, "--dtype", "float64",
+                   "--col_chunk", "4", "-k", "2", "-f", "-r", "-m"])
+    assert rc == 0
+    img = envi_io.open_envi(outfile)
+    assert img.nbands == 4
+    bg = envi_io.open_envi(outfile + "_bgmeta")
+    dat = np.asarray(bg.load())
+    assert dat.shape[2] == 2           # cluster id + alpha index
+    assert len(np.unique(dat[..., 0])) >= 2   # both modes present somewhere
