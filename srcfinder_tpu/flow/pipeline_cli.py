@@ -1,0 +1,241 @@
+"""CLI: the full flightline pipeline in one command.
+
+The reference chains its stages through AWS events — an S3 plume-list
+upload triggers compute-ime, masks, msf-flow Batch jobs
+(msf_flow/deployment/README.md:1-27) — so there is no single local
+entry point. This framework's local-first equivalent:
+
+    srcfinder-pipeline RADIANCE --library LIB --weights W.npz -o OUT
+        [--winds WINDS_DIR --wind-ext .npz] [--ime] [...]
+
+runs radiance -> CMF -> FCN saliency -> plume candidates (xlsx+csv)
+[-> IME stats] [-> wind/emission enrichment], with per-stage idempotent
+skips (existing outputs are reused — the reference's resume convention,
+SURVEY §5 checkpoint/resume) and per-stage wall-clock timers.
+
+``--watch DIR`` instead consumes new radiance files from a directory
+(DirWatcher + JobQueue — the S3-event analog) and keeps going on
+per-flightline failures like every reference loop does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+__all__ = ["run_flightline", "main"]
+
+
+def _stage(name, timers, progress):
+    class _T:
+        def __enter__(self):
+            self.t0 = time.time()
+            progress(f"[STAGE] {name}")
+            return self
+
+        def __exit__(self, *exc):
+            timers[name] = time.time() - self.t0
+            progress(f"[STAGE] {name} done in {timers[name]:.1f}s")
+    return _T()
+
+
+def run_flightline(radiance: str, library: str, weights: str, outdir: str,
+                   model_name: str = "multi_64", bgmodes: int = 1,
+                   prob_thr: float = 0.5, ppmm_thr: float = 250.0,
+                   method: str = "auto", winds: str | None = None,
+                   wind_ext: str = ".grib2", do_ime: bool = False,
+                   quicklooks: bool = False, dtype="float32",
+                   col_chunk: int = 256, progress=print):
+    """Run all stages for one flightline; returns dict of products."""
+    import numpy as np
+    from ..core import envi as envi_io
+    from ..core.geo import mapinfo
+    from ..cmf.pipeline import robust_mf_image
+    from ..detect.fcn_pipeline import fcn_saliency_image
+    from ..detect.salience import salience2detections, save_detections
+    from ..detect.cnn_cli import load_weights
+
+    os.makedirs(outdir, exist_ok=True)
+    base = os.path.basename(radiance)
+    stem = os.path.splitext(base)[0]
+    lid = stem.split("_")[0]
+    products: dict = {}
+    timers: dict = {}
+
+    # ---- L2: CMF -------------------------------------------------------
+    cmff = os.path.join(outdir, stem.replace("_rdn", "_cmf")
+                        if "_rdn" in stem else stem + "_cmf")
+    products["cmf"] = cmff
+    if os.path.exists(cmff):
+        progress(f"[SKIP] CMF exists: {cmff}")
+    else:
+        with _stage("cmf", timers, progress):
+            robust_mf_image(radiance, library, cmff, bgmodes=bgmodes,
+                            dtype=np.dtype(dtype).type,
+                            col_chunk=col_chunk)
+
+    # ---- L3: FCN saliency ----------------------------------------------
+    salf = os.path.join(outdir, os.path.basename(cmff) + "_saliency")
+    products["saliency"] = salf
+    if os.path.exists(salf):
+        progress(f"[SKIP] saliency exists: {salf}")
+    else:
+        with _stage("fcn", timers, progress):
+            variables = load_weights(weights)
+            img = envi_io.open_envi(cmff)
+            band = np.asarray(img.open_memmap(interleave="bip")[..., -1],
+                              dtype=np.float32)
+            sal = np.asarray(fcn_saliency_image(band, variables,
+                                                model_name=model_name,
+                                                method=method))
+            meta = {"data ignore value": -9999}
+            if "map info" in img.metadata:
+                meta["map info"] = img.metadata["map info"]
+            envi_io.save_envi(salf + ".hdr", sal.astype(np.float32),
+                              metadata=meta, interleave="bip")
+
+    # ---- L4: candidates --------------------------------------------------
+    detdir = os.path.join(outdir, os.path.basename(cmff) + "_detections")
+    detname = "_".join([os.path.basename(cmff), "v2",
+                        f"minsal{prob_thr:.2f}",
+                        f"minppmm{ppmm_thr:.1f}"]).replace(".", "p")
+    xlsxf = os.path.join(detdir, detname + ".xlsx")
+    csvf = os.path.splitext(xlsxf)[0] + ".csv"
+    products["detections_xlsx"] = xlsxf
+    products["detections_csv"] = csvf
+    if os.path.exists(csvf):
+        progress(f"[SKIP] detections exist: {csvf}")
+    else:
+        with _stage("salience", timers, progress):
+            os.makedirs(detdir, exist_ok=True)
+            cmfimg = envi_io.open_envi(cmff)
+            salimg = envi_io.open_envi(salf)
+            salmm = np.asarray(
+                salimg.open_memmap(interleave="bip")).squeeze()
+            cmfmm = np.asarray(cmfimg.open_memmap(interleave="bip"))
+            detdf = salience2detections(salmm, cmfmm, prob_thr, ppmm_thr,
+                                        lid, mapinfo(cmfimg), detdir,
+                                        quicklooks=quicklooks)
+            if len(detdf):
+                save_detections(xlsxf, detdf)
+            else:
+                progress("[INFO] no detections above thresholds")
+                products["detections_xlsx"] = None
+                products["detections_csv"] = None
+
+    # ---- L5a: IME --------------------------------------------------------
+    if do_ime:
+        imef = os.path.join(outdir, os.path.basename(cmff) + "_ime.csv")
+        products["ime_csv"] = imef
+        if os.path.exists(imef):
+            progress(f"[SKIP] IME exists: {imef}")
+        else:
+            with _stage("ime", timers, progress):
+                from .ime_worker import compute_ime_for_cmf
+                compute_ime_for_cmf(cmff, out_csv=imef)
+
+    # ---- L5b: winds / emissions ------------------------------------------
+    if winds and products.get("detections_csv") \
+            and os.path.exists(products["detections_csv"]):
+        outcsv = os.path.join(outdir, stem + "_plumes_enriched.csv")
+        products["enriched_csv"] = outcsv
+        if os.path.exists(outcsv):
+            progress(f"[SKIP] enriched list exists: {outcsv}")
+        else:
+            with _stage("msf-flow", timers, progress):
+                from .msf_flow import process_plumes, insert_plumes_in_file
+                # the plume list name carries the minppmm tag the
+                # orchestrator parses (msf_flow.py:124-144)
+                import shutil
+                tagged = os.path.join(
+                    outdir, f"{stem}_plumes_minppmm{int(ppmm_thr)}.csv")
+                shutil.copyfile(products["detections_csv"], tagged)
+                plumes = process_plumes([tagged], winds, ext=wind_ext)
+                insert_plumes_in_file(plumes, outcsv)
+
+    products["timers"] = timers
+    return products
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="srcfinder TPU: radiance -> CMF -> saliency -> "
+                    "plume list [-> IME -> winds] in one command")
+    p.add_argument("radiance", nargs="?", default=None,
+                   help="radiance flightline (ENVI)")
+    p.add_argument("--library", required=True,
+                   help="unit-absorption library (name selects the gas "
+                        "window, e.g. *ch4*.txt)")
+    p.add_argument("--weights", required=True,
+                   help="FCN weights (.npz or .pt)")
+    p.add_argument("--outdir", "-o", default=".")
+    p.add_argument("--model", default="multi_64")
+    p.add_argument("--bgmodes", "-k", type=int, default=1)
+    p.add_argument("--prob_thr", type=float, default=0.5)
+    p.add_argument("--ppmm_thr", type=float, default=250.0)
+    p.add_argument("--method", default="auto",
+                   choices=["auto", "shift", "phase", "dilated"])
+    p.add_argument("--winds", default=None, help="wind-grid directory "
+                   "(enables the emission stage)")
+    p.add_argument("--wind-ext", default=".grib2")
+    p.add_argument("--ime", action="store_true")
+    p.add_argument("--quicklooks", action="store_true")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"])
+    p.add_argument("--col_chunk", type=int, default=256)
+    p.add_argument("--watch", default=None,
+                   help="watch a directory for new radiance files "
+                        "instead of processing one")
+    p.add_argument("--watch-regex", default=r".*_rdn.*img$")
+    p.add_argument("--once", action="store_true",
+                   help="with --watch: process the current backlog and "
+                        "exit (for tests/cron)")
+    return p
+
+
+def main(argv=None):
+    from ..utils import default_compile_cache
+
+    args = build_parser().parse_args(argv)
+    default_compile_cache()
+    kwargs = dict(library=args.library, weights=args.weights,
+                  outdir=args.outdir, model_name=args.model,
+                  bgmodes=args.bgmodes, prob_thr=args.prob_thr,
+                  ppmm_thr=args.ppmm_thr, method=args.method,
+                  winds=args.winds, wind_ext=args.wind_ext,
+                  do_ime=args.ime, quicklooks=args.quicklooks,
+                  dtype=args.dtype, col_chunk=args.col_chunk)
+
+    if args.watch:
+        from .deploy import JobQueue, watch_and_trigger
+        jobq = JobQueue()
+        jobq.register("flightline",
+                      lambda params: run_flightline(params["path"],
+                                                    **kwargs))
+        first = True
+        while True:
+            # first cycle processes the existing backlog (the DirWatcher
+            # cursor starts at 'now' when no state file exists)
+            watch_and_trigger(args.watch, "flightline", jobq,
+                              regex=args.watch_regex, force=first)
+            first = False
+            jobq.join()
+            for failure in jobq.failures:
+                print(f"[FAIL] {failure}", file=sys.stderr)
+            if args.once:
+                return 1 if jobq.failures else 0
+            time.sleep(5)
+
+    if not args.radiance:
+        print("radiance file or --watch required", file=sys.stderr)
+        return 2
+    products = run_flightline(args.radiance, **kwargs)
+    for k, v in products.items():
+        print(f"{k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
