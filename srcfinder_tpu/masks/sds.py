@@ -138,6 +138,29 @@ def dilate_mask(binmask, radius_px: float) -> np.ndarray:
     return buf
 
 
+def needed_bands(wavelengths, params: MaskParams):
+    """Bands the mask tests actually read: the saturation window plus
+    the cloud/specular/dark bands — ~80 of 425 on AVIRIS-NG. Shipping
+    only these to the device cuts the host->TPU transfer (the full-cube
+    bottleneck: the masks are elementwise; the tunnel is the cost)."""
+    wl = np.asarray(wavelengths)
+    lo, hi = params.saturation_window
+    need = set(np.where((wl >= lo) & (wl <= hi))[0].tolist())
+    need.update(int(b) for b in params.cld_bands)
+    need.add(int(params.spec_band))
+    need.add(int(params.dark_band))
+    return np.array(sorted(need), dtype=np.int64)
+
+
+def _compact_params(params: MaskParams, need) -> MaskParams:
+    """Remap band indices into the compacted band axis."""
+    pos = {int(b): i for i, b in enumerate(need)}
+    return params._replace(
+        cld_bands=tuple(pos[int(b)] for b in params.cld_bands),
+        spec_band=pos[int(params.spec_band)],
+        dark_band=pos[int(params.dark_band)])
+
+
 def masks_for_cube(read_block, nrows: int, ncols: int, wavelengths,
                    params: MaskParams = MaskParams(),
                    maskgrowradius_px: float = None, mingrowarea=None,
@@ -149,7 +172,10 @@ def masks_for_cube(read_block, nrows: int, ncols: int, wavelengths,
     Returns (rows, cols, 4) int16: [cloud(buffered), specular, flare, dark]
     (reference: masks_sds.py:284-348).
     """
-    wavelengths = jnp.asarray(np.asarray(wavelengths, np.float32))
+    wl_full = np.asarray(wavelengths, np.float32)
+    need = needed_bands(wl_full, params)
+    params = _compact_params(params, need)
+    wavelengths = jnp.asarray(wl_full[need])
     sat_full = np.zeros((nrows, ncols), np.uint8)
     cloud_full = np.zeros((nrows, ncols), np.uint8)
     spec_full = np.zeros((nrows, ncols), np.uint8)
@@ -161,7 +187,7 @@ def masks_for_cube(read_block, nrows: int, ncols: int, wavelengths,
     block_length = block_step + overlap
     for r0 in range(0, nrows, block_step):
         r1 = min(nrows, r0 + block_length)
-        blk = np.asarray(read_block(r0, r1), np.float32)
+        blk = np.asarray(read_block(r0, r1), np.float32)[:, :, need]
         if blk.shape[0] < block_length:
             # pad to the fixed block shape so one jit executable serves
             # every block; -9999 rows trip none of the mask tests
