@@ -518,6 +518,11 @@ def main(argv=None):
     p.add_argument("--datapath", default=None)
     p.add_argument("--output", default="output")
     p.add_argument("--port", type=int, default=0)
+    p.add_argument("--precache", action="store_true",
+                   help="pre-warp every flightline to the EPSG:3857 "
+                        "GeoTIFF cache before serving (reference: "
+                        "cmftagger.py:600-616)")
+    p.add_argument("--gtif-cache", default="gtif_cache")
     args = p.parse_args(argv)
 
     settings = {}
@@ -529,6 +534,10 @@ def main(argv=None):
     users = settings.get("users", [args.user])
     port = args.port or user_port(users, args.user)
     sess = QcSession(args.user, datapath, args.output)
+    if args.precache:
+        from .gtif import precache_gtifs
+        outs = precache_gtifs(sess.datafiles, args.gtif_cache)
+        print(f"precached {len(outs)} gtifs into {args.gtif_cache}")
     QcWebApp(sess, port=port, flag_opts=settings.get("flag_opts"),
              wmts=settings.get("wmts")).serve_forever()
     return 0

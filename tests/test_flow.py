@@ -949,3 +949,25 @@ def test_object_store_s3_gated():
         pass
     with pytest.raises(ImportError, match="boto3"):
         S3ObjectStore("bucket")
+
+
+def test_grib2npz_cli(tmp_path, rng):
+    """srcfinder-grib2npz: complex-packed GRIB2 -> npz with both
+    altitudes; wind_mnstd consumes the converted file."""
+    from srcfinder_tpu.flow.grib_cli import main
+    from srcfinder_tpu.flow.wind import wind_mnstd
+    g = _tenths_grid(rng)
+    p = str(tmp_path / "hrrr.2020092421.wrfsfcf00.grib2")
+    _encode_grib2_complex(p, g, spatial_order=2, levels=(10, 80))
+    outdir = str(tmp_path / "npz")
+    rc = main([p, "-o", outdir, "--alts", "10", "80"])
+    assert rc == 0
+    out = os.path.join(outdir, "hrrr.2020092421.wrfsfcf00.npz")
+    back = flow.read_wind_grid(out, alt=10)
+    np.testing.assert_allclose(back.u, g.u, atol=1e-9)
+    back80 = flow.read_wind_grid(out, alt=80)
+    np.testing.assert_allclose(back80.u, g.u, atol=1e-9)
+    # a bad file keeps going with nonzero rc
+    bad = str(tmp_path / "bad.grib2")
+    open(bad, "wb").write(b"NOPE")
+    assert main([bad, p, "-o", outdir]) == 1
