@@ -971,3 +971,20 @@ def test_grib2npz_cli(tmp_path, rng):
     bad = str(tmp_path / "bad.grib2")
     open(bad, "wb").write(b"NOPE")
     assert main([bad, p, "-o", outdir]) == 1
+
+
+def test_wind_export_from_complex_grib(tmp_path, rng):
+    """get_wind_bands parity end-to-end over a REAL-format GRIB2 file
+    (complex packing + Lambert grid) -> CF NetCDF at 0.025 deg
+    (reference: get_wind_bands.py reads GRIB via pygrib/GDAL)."""
+    from srcfinder_tpu.flow.wind_export import wind_grid_to_nc
+    g = _tenths_grid(rng, ny=10, nx=14)
+    p = str(tmp_path / "hrrr.2020092421.wrfsfcf00.grib2")
+    _encode_grib2_complex(p, g, spatial_order=2, lambert=True)
+    ncf = str(tmp_path / "out.nc")
+    wind_grid_to_nc(p, ncf)
+    from scipy.io import netcdf_file
+    with netcdf_file(ncf, "r") as nc:
+        assert b"CF-1.8" in nc.Conventions
+        u = nc.variables["u"][:]
+        assert np.isfinite(u[np.asarray(u) > -9000]).all()
