@@ -209,12 +209,179 @@ PyObject* label8(PyObject*, PyObject* args) {
   return result;
 }
 
+/* ---- TIFF 6.0 LZW (core/geotiff.py's hot codec) --------------------
+ * Width-change rules calibrated against libtiff (PIL cross-checked by
+ * tests/test_core_extras.py): the encoder bumps the code width when the
+ * next free code reaches 2^bits and emits CLEAR at 4094; the decoder
+ * bumps one entry earlier (its table lags the encoder's by one).
+ */
+
+constexpr int kClear = 256, kEoi = 257, kFirst = 258;
+
+PyObject* lzw_encode(PyObject*, PyObject* args) {
+  Py_buffer in;
+  if (!PyArg_ParseTuple(args, "y*", &in)) return nullptr;
+  const uint8_t* data = static_cast<const uint8_t*>(in.buf);
+  const Py_ssize_t n = in.len;
+
+  std::vector<uint8_t> out;
+  out.reserve(static_cast<size_t>(n) / 2 + 64);
+  uint64_t buf = 0;
+  int nbuf = 0;
+  auto emit = [&](uint32_t code, int bits) {
+    buf = (buf << bits) | code;
+    nbuf += bits;
+    while (nbuf >= 8) {
+      nbuf -= 8;
+      out.push_back(static_cast<uint8_t>((buf >> nbuf) & 0xFF));
+    }
+    buf &= (1ull << nbuf) - 1;
+  };
+
+  Py_BEGIN_ALLOW_THREADS
+  std::vector<int32_t> tab(4096 * 256, -1);
+  int nxt = kFirst, bits = 9;
+  emit(kClear, bits);
+  if (n > 0) {
+    int cur = data[0];
+    for (Py_ssize_t i = 1; i < n; ++i) {
+      const uint8_t b = data[i];
+      int32_t& slot = tab[static_cast<size_t>(cur) * 256 + b];
+      if (slot >= 0) {
+        cur = slot;
+        continue;
+      }
+      emit(static_cast<uint32_t>(cur), bits);
+      slot = nxt++;
+      if (nxt == 4094) {  // table nearly full: restart
+        emit(kClear, bits);
+        std::fill(tab.begin(), tab.end(), -1);
+        nxt = kFirst;
+        bits = 9;
+      } else if (nxt == (1 << bits) && bits < 12) {
+        ++bits;
+      }
+      cur = b;
+    }
+    emit(static_cast<uint32_t>(cur), bits);
+  }
+  emit(kEoi, bits);
+  if (nbuf) out.push_back(static_cast<uint8_t>((buf << (8 - nbuf)) & 0xFF));
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&in);
+  return PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(out.data()),
+      static_cast<Py_ssize_t>(out.size()));
+}
+
+PyObject* lzw_decode(PyObject*, PyObject* args) {
+  Py_buffer in;
+  if (!PyArg_ParseTuple(args, "y*", &in)) return nullptr;
+  const uint8_t* data = static_cast<const uint8_t*>(in.buf);
+  const Py_ssize_t n = in.len;
+
+  std::vector<uint8_t> out;
+  out.reserve(static_cast<size_t>(n) * 3 + 64);
+  bool corrupt = false;
+  int bad_code = -1;
+
+  Py_BEGIN_ALLOW_THREADS
+  std::vector<int32_t> prefix(4096, -1);
+  std::vector<uint8_t> last(4096), first(4096);
+  std::vector<int32_t> length(4096, 0);
+  for (int i = 0; i < 256; ++i) {
+    last[i] = first[i] = static_cast<uint8_t>(i);
+    length[i] = 1;
+  }
+  int nextcode = kFirst, bits = 9, prev = -1;
+  uint64_t buf = 0;
+  int nbuf = 0;
+  Py_ssize_t pos = 0;
+
+  auto emit_code = [&](int code) {
+    const size_t start = out.size();
+    out.resize(start + static_cast<size_t>(length[code]));
+    int c = code;
+    for (Py_ssize_t k = length[code] - 1; k >= 0; --k) {
+      out[start + k] = last[c];
+      c = prefix[c];
+    }
+  };
+
+  for (;;) {
+    while (nbuf < bits) {
+      if (pos >= n) goto done;
+      buf = (buf << 8) | data[pos++];
+      nbuf += 8;
+    }
+    nbuf -= bits;
+    const int code = static_cast<int>((buf >> nbuf) & ((1u << bits) - 1));
+    buf &= (1ull << nbuf) - 1;
+
+    if (code == kEoi) break;
+    if (code == kClear) {
+      nextcode = kFirst;
+      bits = 9;
+      prev = -1;
+      continue;
+    }
+    if (prev < 0) {
+      if (code > 255) {
+        corrupt = true;
+        bad_code = code;
+        goto done;
+      }
+      emit_code(code);
+    } else if (code < nextcode) {
+      if (nextcode < 4096) {
+        prefix[nextcode] = prev;
+        last[nextcode] = first[code];
+        first[nextcode] = first[prev];
+        length[nextcode] = length[prev] + 1;
+        ++nextcode;
+      }
+      emit_code(code);
+      if (nextcode == (1 << bits) - 1 && bits < 12) ++bits;
+    } else if (code == nextcode && nextcode < 4096) {
+      prefix[nextcode] = prev;
+      last[nextcode] = first[prev];
+      first[nextcode] = first[prev];
+      length[nextcode] = length[prev] + 1;
+      ++nextcode;
+      emit_code(code);
+      if (nextcode == (1 << bits) - 1 && bits < 12) ++bits;
+    } else {
+      corrupt = true;
+      bad_code = code;
+      goto done;
+    }
+    prev = code;
+  }
+done:;
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&in);
+  if (corrupt) {
+    PyErr_Format(PyExc_ValueError, "corrupt LZW stream (code %d)",
+                 bad_code);
+    return nullptr;
+  }
+  return PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(out.data()),
+      static_cast<Py_ssize_t>(out.size()));
+}
+
 PyMethodDef methods[] = {
     {"bil_window_to_lcb", bil_window_to_lcb, METH_VARARGS,
      "Repack a BIL (L,B,C) band/column window into float32 (L,C,B)."},
     {"label8", label8, METH_VARARGS,
      "8-connected component labeling of a uint8 mask into int32 labels; "
      "returns the number of labels."},
+    {"lzw_encode", lzw_encode, METH_VARARGS,
+     "TIFF 6.0 LZW compression of a bytes-like object."},
+    {"lzw_decode", lzw_decode, METH_VARARGS,
+     "TIFF 6.0 LZW decompression of a bytes-like object."},
     {nullptr, nullptr, 0, nullptr}};
 
 PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_native",

@@ -34,6 +34,25 @@ _CLEAR, _EOI, _FIRST = 256, 257, 258
 
 
 def _lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 LZW compression — native C++ when built
+    (native/enviio.cpp lzw_encode), pure python otherwise. Both are
+    cross-checked against each other and against libtiff/PIL by
+    tests/test_core_extras.py."""
+    from .native import HAVE_NATIVE, _native
+    if HAVE_NATIVE and hasattr(_native, "lzw_encode"):
+        return _native.lzw_encode(bytes(data))
+    return _lzw_encode_py(data)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF 6.0 LZW decompression (native when built)."""
+    from .native import HAVE_NATIVE, _native
+    if HAVE_NATIVE and hasattr(_native, "lzw_decode"):
+        return _native.lzw_decode(bytes(data))
+    return _lzw_decode_py(data)
+
+
+def _lzw_encode_py(data: bytes) -> bytes:
     """TIFF 6.0 LZW (MSB-first bit packing, early code-width change)."""
     out = bytearray()
     buf = 0
@@ -78,8 +97,9 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(data: bytes) -> bytes:
-    """Inverse of :func:`_lzw_encode`; also reads libtiff/GDAL output."""
+def _lzw_decode_py(data: bytes) -> bytes:
+    """Inverse of :func:`_lzw_encode_py`; also reads libtiff/GDAL
+    output."""
     out = bytearray()
     pos = 0
     buf = 0

@@ -299,3 +299,28 @@ def test_retrieve_rgb_injectable_fetcher(tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         loaders.retrieve_rgb(str(tmp_path / "foo.jpeg"))
+
+
+def test_lzw_native_matches_python(rng):
+    """The C++ LZW codec (native/enviio.cpp) must be byte-identical to
+    the pure-python reference implementation in both directions,
+    including table-restart streams (>4k distinct phrases)."""
+    from srcfinder_tpu.core.native import HAVE_NATIVE, _native
+    from srcfinder_tpu.core.geotiff import _lzw_encode_py, _lzw_decode_py
+    if not (HAVE_NATIVE and hasattr(_native, "lzw_encode")):
+        pytest.skip("native extension not built")
+    cases = [
+        b"",
+        b"abAB" * 5,
+        rng.integers(0, 256, size=200_000).astype(np.uint8).tobytes(),
+        (np.arange(120_000) % 251).astype(np.uint8).tobytes(),
+        np.zeros(50_000, np.uint8).tobytes(),
+    ]
+    for data in cases:
+        enc_py = _lzw_encode_py(data)
+        enc_c = _native.lzw_encode(data)
+        assert enc_c == enc_py
+        assert _native.lzw_decode(enc_py) == data
+        assert _lzw_decode_py(enc_c) == data
+    with pytest.raises(ValueError):
+        _native.lzw_decode(b"\xff\xff\xff\xff")
