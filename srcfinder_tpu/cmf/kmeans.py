@@ -54,8 +54,9 @@ def _kpp_init(z, m, k, key):
     cent = jnp.moveaxis(cent, 0, 1)                               # (C, 1, P)
 
     def add_centroid(cent, key_i):
-        # distance to nearest existing centroid
-        d2 = jnp.min(jnp.sum((z[:, :, None, :] - jnp.moveaxis(cent, 0, 1)[None]) ** 2,
+        # distance to the nearest existing centroid OF THE SAME COLUMN:
+        # z (L,C,1,P) vs cent (1,C,K',P) -> (L,C,K') -> min over K'
+        d2 = jnp.min(jnp.sum((z[:, :, None, :] - cent[None]) ** 2,
                              axis=-1), axis=2)                    # (L, C)
         logits = jnp.where(m > 0, jnp.log(jnp.maximum(d2, 1e-30)), -jnp.inf)
         gi = jax.random.gumbel(key_i, (L, C))

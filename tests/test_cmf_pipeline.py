@@ -258,3 +258,38 @@ def test_cli_multimodal_smoke(tmp_path, rng):
     dat = np.asarray(bg.load())
     assert dat.shape[2] == 2           # cluster id + alpha index
     assert len(np.unique(dat[..., 0])) >= 2   # both modes present somewhere
+
+
+def test_kmeans_three_modes_and_per_column_seeding(rng):
+    """Regression: k-means++ seeding must measure distance to the same
+    COLUMN's centroids (the old broadcast compared against every
+    column's centroid — silently wrong at k=2, a shape error at k=3)."""
+    import jax.numpy as jnp
+    from srcfinder_tpu.cmf.kmeans import kmeans_columns
+
+    L, C, P = 120, 5, 3
+    centers = rng.normal(scale=10.0, size=(C, 3, P))  # distinct per col
+    z = np.empty((L, C, P), np.float32)
+    true_lab = np.zeros((L, C), int)
+    for c in range(C):
+        for k in range(3):
+            sl = slice(k * (L // 3), (k + 1) * (L // 3))
+            z[sl, c] = centers[c, k] + rng.normal(scale=0.1,
+                                                  size=(L // 3, P))
+            true_lab[sl, c] = k
+    m = np.ones((L, C), np.float32)
+    labels, cent = kmeans_columns(jnp.asarray(z), jnp.asarray(m), 3,
+                                  iters=25, seed=0)
+    labels = np.asarray(labels)
+    # each true cluster maps to exactly one label per column
+    for c in range(C):
+        for k in range(3):
+            got = labels[true_lab[:, c] == k, c]
+            assert (got == got[0]).all()
+        assert len(np.unique(labels[:, c])) == 3
+    # centroids belong to their own column's centers
+    cent = np.asarray(cent)
+    for c in range(C):
+        for k in range(3):
+            d = np.linalg.norm(centers[c] - cent[c, k][None], axis=1).min()
+            assert d < 1.0
