@@ -157,12 +157,35 @@ def main(argv=None):
                         help="treat all matching files as new")
     parser.add_argument("--wind-ext", default=".grib2",
                         choices=[".grib2", ".npz"])
+    parser.add_argument("--store", default=None,
+                        help="object-store URI (s3://bucket/prefix or a "
+                             "local dir): plume lists matching --regex are "
+                             "fetched from it and the merged output is "
+                             "uploaded back — the reference's AWS mode "
+                             "(msf_flow.py:286-348, :254-267)")
     args = parser.parse_args(argv)
 
     from ..utils.config import default_compile_cache
     default_compile_cache()
     logger = init_logger("msf_flow")
-    if args.flmode:
+    store = None
+    if args.store:
+        import re as _re
+        import tempfile
+        from .objectstore import open_store
+        store, _ = open_store(args.store)
+        staging = tempfile.mkdtemp(prefix="msfflow_")
+        pat = _re.compile(args.regex)
+        flist = []
+        for key in store.list():
+            if pat.search(os.path.basename(key)):
+                flist.append(store.get(
+                    key, os.path.join(staging, os.path.basename(key))))
+        # resume the existing merged output (.bak semantics preserved)
+        outkey = os.path.basename(args.outfile)
+        if store.exists(outkey) and not os.path.isfile(args.outfile):
+            store.get(outkey, args.outfile)
+    elif args.flmode:
         flist = [args.flmode]
     else:
         watcher = DirWatcher(args.plume_dir, force=args.force,
@@ -175,6 +198,9 @@ def main(argv=None):
                             fill=args.fill, ext=args.wind_ext, logger=logger)
     insert_plumes_in_file(plumes, args.outfile, sort_by_key="Candidate ID",
                           logger=logger)
+    if store is not None:
+        store.put(args.outfile, os.path.basename(args.outfile))
+        logger.info("uploaded %s to the object store", args.outfile)
     return 0
 
 

@@ -988,3 +988,43 @@ def test_wind_export_from_complex_grib(tmp_path, rng):
         assert b"CF-1.8" in nc.Conventions
         u = nc.variables["u"][:]
         assert np.isfinite(u[np.asarray(u) > -9000]).all()
+
+
+def test_msf_flow_cli_object_store(tmp_path, rng):
+    """msf-flow --store: plume lists fetched from (and the merged output
+    uploaded to) an object store — the reference's AWS S3 mode
+    (msf_flow.py:286-348) with the local backend."""
+    import csv as _csv
+    from srcfinder_tpu.flow.msf_flow import main
+    from srcfinder_tpu.flow.objectstore import LocalObjectStore
+
+    # winds
+    winds = tmp_path / "winds" / "hrrr" / "20200924"
+    os.makedirs(winds)
+    g = make_grid(rng)
+    for h in (20, 21, 22):
+        flow.write_wind_grid_npz(
+            str(winds / f"hrrr.20200924{h}.wrfsfcf00.npz"),
+            flow.WindGrid(g.lat, g.lon, np.full_like(g.u, 3.0),
+                          np.full_like(g.v, 4.0), g.gust,
+                          dt.datetime(2020, 9, 24, h, 0)))
+    # plume list in the bucket
+    plume = tmp_path / "plumes_minppmm500.csv"
+    with open(plume, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["Candidate ID", "Plume Latitude (deg)",
+                    "Plume Longitude (deg)"])
+        w.writerow(["ang20200924t211102-1", 34.5, -118.5])
+    bucket = str(tmp_path / "bucket")
+    store = LocalObjectStore(bucket)
+    store.put(str(plume), "plumes_minppmm500.csv")
+
+    out = str(tmp_path / "merged.csv")
+    rc = main(["-w", str(tmp_path / "winds"), "-o", out,
+               "--wind-ext", ".npz", "--store", bucket])
+    assert rc == 0
+    assert store.exists("merged.csv")
+    row = list(_csv.DictReader(open(out)))[0]
+    winds_mean = [float(v) for k, v in row.items()
+                  if "Wind Mean" in k and v not in ("", "NA")]
+    assert winds_mean and abs(winds_mean[0] - 5.0) < 1e-6
