@@ -38,6 +38,11 @@ def build_parser():
                         help="device compute precision")
     parser.add_argument("--col_chunk", type=int, default=256,
                         help="columns per device batch")
+    parser.add_argument("--cond_thresh", type=float, default=1e-6,
+                        help="float32 path: columns whose whitened-"
+                             "covariance condition (lam_min/lam_max) falls "
+                             "below this are recomputed in float64 on the "
+                             "CPU (0 disables)")
     parser.add_argument("input", type=str, metavar="INPUT",
                         help="path to input image")
     parser.add_argument("library", type=str, metavar="LIBRARY",
@@ -69,7 +74,7 @@ def main(argv=None):
         rgb_bands=rgb, save_bgmeta=args.metadata,
         col_chunk=args.col_chunk,
         dtype=np.float64 if args.dtype == "float64" else np.float32,
-        verbose=args.verbose)
+        verbose=args.verbose, cond_thresh=args.cond_thresh)
     print("Saved column stats to", out["colcsv"])
     print("done (elapsed time=%ds)" % (time.time() - stime))
     return 0

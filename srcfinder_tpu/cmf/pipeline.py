@@ -56,7 +56,8 @@ def robust_mf_image(infile: str, library: str, outfile: str,
                     regfull: bool = False, reflectance: bool = False,
                     rgb_bands=(60, 42, 24), save_bgmeta: bool = False,
                     col_chunk: int = 256, dtype=np.float32,
-                    use_pallas: bool = False, verbose: bool = False):
+                    use_pallas: bool = False, verbose: bool = False,
+                    cond_thresh: float = 1e-6):
     """Run the columnwise robust MF over a full flightline.
 
     Returns a dict with output paths and the column-stats arrays.
@@ -64,6 +65,14 @@ def robust_mf_image(infile: str, library: str, outfile: str,
     computes in float64 LAPACK; float32 is the TPU-native fast path).
     ``use_pallas`` computes the masked moments with the fused streaming
     kernel (unimodal path only).
+
+    ``cond_thresh``: in the float32 path, columns whose whitened
+    covariance has ``lam_min/lam_max`` below this (the characterized f32
+    failure regime — near-singular correlations, tests/test_cmf_f32.py)
+    are recomputed in float64 on the CPU and overwritten, so the output
+    matches the reference's f64 LAPACK everywhere. 0 disables. Unimodal
+    path only (multimodal columns mix modes; run ``dtype=float64`` for
+    ill-conditioned multimodal scenes).
     """
     import contextlib
     ctx = (jax.enable_x64(True) if np.dtype(dtype) == np.float64
@@ -74,12 +83,36 @@ def robust_mf_image(infile: str, library: str, outfile: str,
             pcadim=pcadim, reject=reject, regfull=regfull,
             reflectance=reflectance, rgb_bands=rgb_bands,
             save_bgmeta=save_bgmeta, col_chunk=col_chunk, dtype=dtype,
-            use_pallas=use_pallas, verbose=verbose)
+            use_pallas=use_pallas, verbose=verbose,
+            cond_thresh=cond_thresh)
+
+
+def _f64_cpu_columns(xblk, cols, abscf, alphas, model, reflectance):
+    """Recompute selected columns in float64 on the CPU backend (the
+    reference's native precision). Column counts are padded to power-of-2
+    buckets to bound the number of compiled shapes."""
+    cpu = jax.devices("cpu")[0]
+    sub = np.asarray(xblk[:, cols, :], np.float64)        # (L, n, B)
+    n = sub.shape[1]
+    bucket = 1 << max(0, (n - 1)).bit_length()
+    if bucket > n:
+        sub = np.concatenate(
+            [sub, np.zeros((sub.shape[0], bucket - n, sub.shape[2]))], axis=1)
+    with jax.enable_x64(True), jax.default_device(cpu):
+        xj = jnp.asarray(sub)
+        mj = mfmod.valid_mask(xj).astype(xj.dtype)
+        res = mfmod.matched_filter_columns(
+            xj, mj, jnp.asarray(abscf, jnp.float64),
+            jnp.asarray(alphas, jnp.float64), model=model,
+            reflectance=reflectance)
+        mf = np.asarray(res.mf)[:, :n]
+        aidx = np.asarray(res.alpha_index)[:n]
+    return mf, aidx
 
 
 def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
                      reject, regfull, reflectance, rgb_bands, save_bgmeta,
-                     col_chunk, dtype, use_pallas, verbose):
+                     col_chunk, dtype, use_pallas, verbose, cond_thresh):
     img = envi_io.open_envi(infile)
     mm = img.open_memmap(interleave="source")
     if img.interleave != "bil":
@@ -195,9 +228,24 @@ def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
                 reflectance=reflectance, moments=moments)
             mf = np.asarray(res.mf) * ppm
             valid = np.asarray(mj) > 0
+            alpha_index = np.array(res.alpha_index)   # writable copy
+            # f64-CPU fallback for the characterized f32 failure regime
+            if cond_thresh and np.dtype(dtype) == np.float32:
+                cond = np.asarray(res.cond)[:width]
+                nvalid = np.asarray(res.n)[:width]
+                bad = np.nonzero((cond < cond_thresh) & (nvalid >= 2))[0]
+                if bad.size:
+                    if verbose:
+                        print(f"[INFO] columns {c0 + bad} cond<"
+                              f"{cond_thresh:g}: f64 CPU recompute")
+                    mf64, a64 = _f64_cpu_columns(
+                        np.asarray(xj), bad, abscf, alphas, model,
+                        reflectance)
+                    mf[:, bad] = mf64 * ppm
+                    alpha_index[bad] = a64
             if save_bgmeta:
                 bg_mm[:, c0:c1, 0] = 1
-                bg_mm[:, c0:c1, 1] = np.asarray(res.alpha_index)[None, :width]
+                bg_mm[:, c0:c1, 1] = alpha_index[None, :width]
 
         mf = mf[:, :width]
         valid = valid[:, :width]

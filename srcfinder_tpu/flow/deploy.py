@@ -9,9 +9,11 @@ a small event-driven work queue:
 - ``JobQueue`` registers handlers per job type and executes submitted
   jobs (synchronously or on a thread pool) — the Lambda/Batch analog;
 - ``watch_and_trigger`` turns new files in a directory into jobs — the
-  S3-event analog (DirWatcher supplies the "event stream");
-- when boto3 IS available, ``S3EventAdapter`` maps the same handlers onto
-  real S3 events (kept import-gated; this environment has no AWS).
+  S3-event analog (DirWatcher supplies the "event stream"; pair with
+  ``flow.objectstore`` for the S3 wire protocol itself);
+- ``load_job_specs``/``register_job_specs`` wire a declarative job map
+  (``deployment/jobs.json`` — the Batch job definitions + invoke-script
+  parameter dicts) onto the queue as CLI handlers.
 
 Job parameter conventions follow the reference's Batch parameters
 (deployment/compute-ime/invoke-ime:21-33: CMF_DIR, PPMMTHR=1500,
@@ -20,15 +22,19 @@ FETCHMAX=150, MERGEDISTS="10 20 50", MINAREA=9).
 
 from __future__ import annotations
 
+import json
 import os
 import queue
+import subprocess
 import threading
 from dataclasses import dataclass, field
 from typing import Callable
 
 from .utils import DirWatcher
 
-__all__ = ["Job", "JobQueue", "watch_and_trigger", "IME_JOB_DEFAULTS"]
+__all__ = ["Job", "JobQueue", "watch_and_trigger", "IME_JOB_DEFAULTS",
+           "load_job_specs", "render_command", "make_cli_handler",
+           "register_job_specs"]
 
 #: reference Batch parameters for the compute-ime job
 #: (deployment/compute-ime/invoke-ime:21-33)
@@ -106,6 +112,50 @@ class JobQueue:
     @property
     def failures(self):
         return list(self._failures)
+
+
+def load_job_specs(path: str) -> dict:
+    """Load a job-definition map (``deployment/jobs.json``): job name ->
+    {command: [argv template], defaults: {PARAM: value}, trigger:
+    {regex, param}}. This is the declarative equivalent of the
+    reference's Batch job definitions + invoke scripts (the parameter
+    dicts in deployment/compute-ime/invoke-ime:21-33 and
+    workflow/trigger-msf-flow.py:1-30)."""
+    with open(path) as f:
+        specs = json.load(f)
+    for name, spec in specs.items():
+        if "command" not in spec:
+            raise ValueError(f"job {name!r} has no command template")
+    return specs
+
+
+def render_command(spec: dict, params: dict) -> list[str]:
+    """Render a job's argv from its template: ``{PARAM}`` placeholders are
+    substituted from ``params`` merged over the spec's defaults (Batch
+    `parameters` semantics — submit-time values override the job
+    definition's defaults)."""
+    merged = {**spec.get("defaults", {}), **params}
+    return [str(a).format(**merged) for a in spec["command"]]
+
+
+def make_cli_handler(spec: dict, runner: Callable | None = None):
+    """Handler that executes a job spec's CLI command — the Batch
+    container-run analog. ``runner`` (default subprocess.run with
+    check=True) is injectable for schedulers and tests."""
+    runner = runner or (lambda argv: subprocess.run(argv, check=True))
+
+    def handler(params: dict):
+        return runner(render_command(spec, params))
+
+    return handler
+
+
+def register_job_specs(jobq: JobQueue, specs: dict,
+                       runner: Callable | None = None):
+    """Register every job in a spec map on a queue (the deployment's
+    job<->source wiring, reference deployment/README.md:3-27)."""
+    for name, spec in specs.items():
+        jobq.register(name, make_cli_handler(spec, runner))
 
 
 def watch_and_trigger(watch_dir: str, job_type: str, jobq: JobQueue,

@@ -80,27 +80,36 @@ def compute_emission_rate(plume, wind_type, fill=None, default_fill="NA",
 
     nodata = default_fill if fill is None else fill
 
-    if (ar_key not in plume or
-            (fill is not None and plume[ar_key] == fill)):
+    def _missing(key):
+        """Absent, fill-valued, empty-string (csv NaN) or NaN values."""
+        if key not in plume:
+            return True
+        v = plume[key]
+        if fill is not None and v == fill:
+            return True
+        if isinstance(v, str) and v.strip() == "":
+            return True
+        try:
+            import math
+            return math.isnan(float(v))
+        except (TypeError, ValueError):
+            return True
+
+    if _missing(ar_key):
         ar_flag = nodata
     else:
         ar = float(plume[ar_key])
         ar_flag = int((ar > max_aspect_ratio) or (ar < min_aspect_ratio))
 
-    if (avg_key not in plume or mean_wind_key not in plume or
-            (fill is not None and (plume[avg_key] == fill or
-                                   plume[mean_wind_key] == fill))):
+    if (_missing(avg_key) or _missing(mean_wind_key)):
         emission_rate = nodata
     else:
         mean_wind = float(plume[mean_wind_key])
         avg_ime = float(plume[avg_key])
         emission_rate = avg_ime * mean_wind * 3600
 
-    if (emission_rate == fill or std_key not in plume or
-            std_wind_key not in plume or
-            (fill is not None and (plume[std_key] == fill or
-                                   plume[std_wind_key] == fill))
-            or emission_rate == nodata):
+    if (emission_rate == fill or _missing(std_key)
+            or _missing(std_wind_key) or emission_rate == nodata):
         emission_uncertainty = nodata
     else:
         std_wind = float(plume[std_wind_key])

@@ -177,3 +177,33 @@ def wind_quality_check(path, alert=None):
         alert(f"Bad wind file {os.path.basename(path)}",
               f"Wind file {path} is empty or unreadable")
     return ok
+
+
+def main(argv=None):
+    """``srcfinder-harvest`` — the harvester CLI (reference flags:
+    harvest.py:16-25 -ds/-b/-s/-e/-n)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="Config-driven wind-granule "
+                                "harvester")
+    p.add_argument("-c", "--config", required=True,
+                   help="dataset YAML (url_template/local_path_template/"
+                        "time_res)")
+    p.add_argument("-b", "--data_basedir", default=".")
+    p.add_argument("-s", "--start_date", default=None, help="YYYYMMDD")
+    p.add_argument("-e", "--end_date", default=None, help="YYYYMMDD")
+    p.add_argument("-n", "--num_days", type=int, default=None)
+    args = p.parse_args(argv)
+
+    conf = load_dataset_conf(args.config)
+    dates = {"start_date": args.start_date, "end_date": args.end_date,
+             "num_days": args.num_days}
+    start, end = set_date_range(dates)
+    done, failed = harvest_date_range(start, end, args.data_basedir, conf)
+    print(f"[INFO] downloaded {len(done)}, failed {len(failed)}, "
+          f"range {start}..{end}")
+    return 1 if failed and not done else 0
+
+
+if __name__ == "__main__":
+    main()

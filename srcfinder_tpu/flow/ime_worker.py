@@ -29,7 +29,7 @@ from ..core.physics import ime
 from ..core.geo import sl2latlon
 
 __all__ = ["detection_ime_stats", "compute_ime_for_cmf",
-           "IME_JOB_PARAMS"]
+           "merge_ime_into_plumelist", "IME_JOB_PARAMS"]
 
 #: documented Batch parameters (reference: deployment/compute-ime/invoke-ime)
 IME_JOB_PARAMS = dict(PPMMTHR=1500.0, FETCHMAX=150.0,
@@ -44,6 +44,18 @@ def _plume_fetch(mask, ps, fetchmax):
         return 0.0
     extent = max(rr.max() - rr.min() + 1, cc.max() - cc.min() + 1) * ps
     return float(min(extent, fetchmax))
+
+
+def _plume_aspect(mask):
+    """Bounding-box aspect ratio (minor/major extent) — the "Aspect
+    ratio20" validity input of the emission stage, flagged outside
+    [0.02, 1] (reference: running_windspeed.py:75-82)."""
+    rr, cc = np.nonzero(mask)
+    if rr.size == 0:
+        return np.nan
+    h = rr.max() - rr.min() + 1
+    w = cc.max() - cc.min() + 1
+    return float(min(h, w) / max(h, w))
 
 
 def detection_ime_stats(cmf, mapinfo_dict, ppmmthr=None, fetchmax=None,
@@ -82,6 +94,7 @@ def detection_ime_stats(cmf, mapinfo_dict, ppmmthr=None, fetchmax=None,
                              area_px=int(mask.sum()), ime_kg=ime_kg,
                              fetch_m=fetch,
                              ime_div_fetch=ime_kg / fetch if fetch else np.nan,
+                             aspect=_plume_aspect(mask),
                              row=r0, col=c0, lat=float(lat),
                              lon=float(lon)))
     return pd.DataFrame(rows)
@@ -109,3 +122,91 @@ def compute_ime_for_cmf(cmf_path, out_csv=None, **params):
         summary = {"AvgIMEdivFetch20 (kg/m)": np.nan,
                    "StdIMEdivFetch20 (kg/m)": np.nan}
     return df, summary
+
+
+def merge_ime_into_plumelist(plume_df, ime_df, radius_m=150.0):
+    """Attach the emission-stage IME columns to a plume candidate list.
+
+    For each candidate, IME rows whose plume centroid lies within
+    ``radius_m`` (haversine) are matched;
+    ``AvgIMEdivFetch20 (kg/m)`` / ``StdIMEdivFetch20 (kg/m)`` are the
+    mean/std of IME/fetch over the matched rows (across merge distances),
+    and ``Aspect ratio20`` is the matched aspect at the 20 m merge
+    distance (nearest available distance otherwise) — the three inputs
+    ``compute_emission_rate`` consumes (running_windspeed.py:35-119).
+    Candidates with no IME match keep NaN (emission stays NA).
+
+    Returns the plume DataFrame with the columns added in place.
+    """
+    from ..core.geo import gcdist
+
+    avg_key = "AvgIMEdivFetch20 (kg/m)"
+    std_key = "StdIMEdivFetch20 (kg/m)"
+    ar_key = "Aspect ratio20"
+    for k in (avg_key, std_key, ar_key):
+        if k not in plume_df:
+            plume_df[k] = np.nan
+    if not len(ime_df):
+        return plume_df
+
+    ilat = ime_df["lat"].to_numpy(float)
+    ilon = ime_df["lon"].to_numpy(float)
+    idf = ime_df["ime_div_fetch"].to_numpy(float)
+    imd = ime_df["mergedist_m"].to_numpy(float)
+    iasp = (ime_df["aspect"].to_numpy(float) if "aspect" in ime_df
+            else np.full(len(ime_df), np.nan))
+
+    for i in plume_df.index:
+        try:
+            plat = float(plume_df.loc[i, "Plume Latitude (deg)"])
+            plon = float(plume_df.loc[i, "Plume Longitude (deg)"])
+        except (KeyError, TypeError, ValueError):
+            continue
+        d = gcdist(ilon, ilat, plon, plat)
+        near = d <= radius_m
+        if not near.any():
+            continue
+        vals = idf[near]
+        vals = vals[np.isfinite(vals)]
+        if vals.size:
+            plume_df.loc[i, avg_key] = float(vals.mean())
+            plume_df.loc[i, std_key] = float(vals.std(ddof=0))
+        # aspect at the 20 m merge distance (nearest distance otherwise)
+        cand = np.nonzero(near)[0]
+        best = cand[np.argmin(np.abs(imd[cand] - 20.0))]
+        if np.isfinite(iasp[best]):
+            plume_df.loc[i, ar_key] = float(iasp[best])
+    return plume_df
+
+
+def main(argv=None):
+    """``srcfinder-ime`` — the compute-ime Batch job surface (parameter
+    names follow deployment/compute-ime/invoke-ime:21-33)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Per-plume IME/fetch statistics for a CMF product")
+    p.add_argument("cmf", help="4-band CMF ENVI image")
+    p.add_argument("-o", "--output", default=None,
+                   help="stats CSV (default: <cmf>_ime.csv)")
+    p.add_argument("--ppmmthr", type=float,
+                   default=IME_JOB_PARAMS["PPMMTHR"])
+    p.add_argument("--fetchmax", type=float,
+                   default=IME_JOB_PARAMS["FETCHMAX"])
+    p.add_argument("--mergedists", default="10 20 50",
+                   help='space-separated meters, e.g. "10 20 50"')
+    p.add_argument("--minarea", type=int, default=IME_JOB_PARAMS["MINAREA"])
+    args = p.parse_args(argv)
+
+    out = args.output or (args.cmf.rsplit(".", 1)[0] + "_ime.csv")
+    df, summary = compute_ime_for_cmf(
+        args.cmf, out_csv=out, ppmmthr=args.ppmmthr, fetchmax=args.fetchmax,
+        mergedists=tuple(float(d) for d in args.mergedists.split()),
+        minarea=args.minarea)
+    print(f"[INFO] {len(df)} plume rows -> {out}")
+    for k, v in summary.items():
+        print(f"[INFO] {k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

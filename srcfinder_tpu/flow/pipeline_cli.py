@@ -148,10 +148,19 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
                 from .msf_flow import process_plumes, insert_plumes_in_file
                 # the plume list name carries the minppmm tag the
                 # orchestrator parses (msf_flow.py:124-144)
-                import shutil
                 tagged = os.path.join(
                     outdir, f"{stem}_plumes_minppmm{int(ppmm_thr)}.csv")
-                shutil.copyfile(products["detections_csv"], tagged)
+                import pandas as pd
+                pdf = pd.read_csv(products["detections_csv"])
+                imef = products.get("ime_csv")
+                if imef and os.path.exists(imef):
+                    # attach AvgIMEdivFetch20/StdIMEdivFetch20/Aspect
+                    # ratio20 so the emission stage has its inputs (the
+                    # reference's compute-ime job updates the plume list
+                    # the same way before msf-flow consumes it)
+                    from .ime_worker import merge_ime_into_plumelist
+                    merge_ime_into_plumelist(pdf, pd.read_csv(imef))
+                pdf.to_csv(tagged, index=False)
                 plumes = process_plumes([tagged], winds, ext=wind_ext)
                 insert_plumes_in_file(plumes, outcsv)
 

@@ -83,12 +83,30 @@ def distance_index(x, y, indx_type: str = "min", dtype: str = "euclid"):
     return dist_index[-1, 0], dist_index[-1, 1], dist_index
 
 
+#: grids below this cell count run the top-k on the CPU backend: the
+#: accelerator only pays off when one (slow, remote) compile amortizes
+#: over many plumes on a production-size grid (HRRR = 1.9M cells)
+SMALL_GRID_CELLS = 500_000
+
+
 def nearest_points(plume_lonlat, grid, k: int):
-    """Distances/indices of the k nearest grid cells (device top-k)."""
-    d, idx = _nearest_k(jnp.asarray(np.asarray(plume_lonlat, np.float32)),
-                        jnp.asarray(grid.lon.ravel(order="F")),
-                        jnp.asarray(grid.lat.ravel(order="F")), k)
-    return np.asarray(d), np.asarray(idx)
+    """Distances/indices of the k nearest grid cells (device top-k;
+    small grids stay on the host CPU backend to avoid paying a device
+    compile for toy inputs)."""
+    import contextlib
+    if grid.lon.size < SMALL_GRID_CELLS:
+        try:
+            ctx = jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:          # no CPU backend registered
+            ctx = contextlib.nullcontext()
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        d, idx = _nearest_k(
+            jnp.asarray(np.asarray(plume_lonlat, np.float32)),
+            jnp.asarray(grid.lon.ravel(order="F")),
+            jnp.asarray(grid.lat.ravel(order="F")), k)
+        return np.asarray(d), np.asarray(idx)
 
 
 def wind_mnstd(npoints: int, plumeloc, files, alt: int = 10, logger=None):

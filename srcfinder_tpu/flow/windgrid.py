@@ -10,11 +10,11 @@ here, so wind grids are read through a small adapter:
 - ``.grib2``: a pure-python GRIB2 decoder supporting grid definition
   templates 3.0 (regular lat/lon) and 3.30 (Lambert conformal — the
   actual HRRR/RTMA grid), and data representation templates 5.0 (simple
-  packing), 5.2 (complex packing) and 5.3 (complex packing with
-  spatial differencing — the actual NCEP HRRR encoding), with bitmaps
-  and primary missing-value management. JPEG2000/PNG packing (5.40/5.41)
-  is not supported; pygrib can be registered via
-  :func:`register_reader` when present.
+  packing), 5.2 (complex packing), 5.3 (complex packing with spatial
+  differencing — the actual NCEP HRRR encoding), 5.40 (JPEG2000 — the
+  actual NCEP RTMA encoding; decoded via Pillow/OpenJPEG) and 5.41
+  (PNG), with bitmaps and primary missing-value management. pygrib can
+  be registered via :func:`register_reader` when present.
 
 GRIB2 stores negative integers sign-and-magnitude (MSB = sign), NOT
 two's complement — all signed fields here go through ``_sm_int``.
@@ -108,12 +108,13 @@ def _bits_to_uint(bits: np.ndarray, bit_offset: int, nbits: int,
 
 
 def _parse_drs(body: bytes) -> dict:
-    """Parse section 5 (data representation) templates 5.0/5.2/5.3."""
+    """Parse section 5 (data representation) templates
+    5.0/5.2/5.3/5.40/5.41."""
     tmpl = struct.unpack(">H", body[9:11])[0]
-    if tmpl not in (0, 2, 3):
+    if tmpl not in (0, 2, 3, 40, 41):
         raise ValueError(
-            f"data representation template {tmpl} unsupported (simple or "
-            "complex packing only); convert to .npz or register pygrib")
+            f"data representation template {tmpl} unsupported; "
+            "convert to .npz or register pygrib")
     drs = {
         "template": tmpl,
         "npts": struct.unpack(">I", body[5:9])[0],
@@ -139,7 +140,36 @@ def _parse_drs(body: bytes) -> dict:
         if drs["missing_mgmt"] != 0:
             raise ValueError("missing-value management with spatial "
                              "differencing is unsupported")
+    if tmpl == 40:
+        drs["compression_type"] = body[21]       # 0 lossless, 1 lossy
     return drs
+
+
+def _unpack_image(data: bytes, drs: dict, nvals: int) -> np.ndarray:
+    """Templates 7.40/7.41: the field's scaled integers X are a JPEG2000
+    codestream / PNG image; Y = (R + X*2^E)/10^D. Real NCEP RTMA2.5
+    products use 5.40 (lossless JPEG2000); the reference reads them via
+    pygrib/eccodes+openjpeg (msf_flow/Dockerfile:10-56). Decoded here
+    with Pillow (OpenJPEG/libpng backends); eccodes likewise treats the
+    decoded raster as a flat sequence of nvals values."""
+    if drs["nbits"] == 0 or len(data) == 0:
+        x = np.zeros(nvals, np.int64)
+    else:
+        try:
+            from PIL import Image
+        except ImportError as e:                       # pragma: no cover
+            raise ValueError(
+                f"template 5.{drs['template']} needs Pillow with "
+                "JPEG2000/PNG support; convert to .npz or register "
+                "pygrib") from e
+        import io
+        im = Image.open(io.BytesIO(data))
+        x = np.asarray(im).astype(np.int64).ravel()
+        if x.size < nvals:
+            raise ValueError(
+                f"image packing decoded {x.size} values, need {nvals}")
+        x = x[:nvals]
+    return (drs["R"] + x * 2.0 ** drs["E"]) / 10.0 ** drs["D"]
 
 
 def _unpack_simple(data: bytes, drs: dict, nvals: int) -> np.ndarray:
@@ -367,6 +397,8 @@ def read_grib2(path: str, alt: int = 10) -> WindGrid:
                 nvals = int(bmp[:npts].sum()) if bmp is not None else npts
                 if drs["template"] == 0:
                     vals = _unpack_simple(body[5:], drs, nvals)
+                elif drs["template"] in (40, 41):
+                    vals = _unpack_image(body[5:], drs, nvals)
                 else:
                     vals = _unpack_complex(body[5:], drs, nvals)
                 if bmp is not None:

@@ -211,6 +211,42 @@ def test_cli_smoke(tmp_path, rng):
     assert img.nbands == 4
 
 
+def test_f32_cond_fallback_reroutes_to_f64(tmp_path, rng):
+    """Float32 pipeline + near-singular columns: the cond-flagged columns
+    are recomputed in f64 on the CPU (pipeline.py cond_thresh), so the
+    full-image output tracks the all-f64 run; with the fallback disabled
+    they diverge by orders of magnitude (the regime quantified in
+    tests/test_cmf_f32.py)."""
+    L, C = 200, 6
+    infile, libf, x, lib = _write_flightline(tmp_path, rng, L=L, C=C)
+    # overwrite columns 1 and 4: rank-4 data in the active window
+    x = x.copy()
+    nb = 422 - 350
+    for c in (1, 4):
+        U = rng.normal(size=(4, nb))
+        x[:, c, 350:422] = np.abs(
+            rng.normal(size=(L, 4)) @ U
+            + rng.normal(size=(L, nb)) * 1e-4 + 6.0)
+    envi_io.save_envi(infile + ".hdr", x,
+                      metadata=envi_io.open_envi(infile).metadata,
+                      interleave="bil", force=True)
+
+    def run(name, **kw):
+        out = str(tmp_path / name)
+        pl.robust_mf_image(infile, libf, out, col_chunk=3, **kw)
+        return np.asarray(envi_io.open_envi(out).load())[..., -1]
+
+    mf64 = run("out64", dtype=np.float64)
+    mf32 = run("out32", dtype=np.float32)               # fallback on
+    mf32_raw = run("out32raw", dtype=np.float32, cond_thresh=0.0)
+
+    scale = np.abs(mf64).max()
+    err_fb = np.abs(mf32 - mf64).max() / scale
+    err_raw = np.abs(mf32_raw[:, [1, 4]] - mf64[:, [1, 4]]).max() / scale
+    assert err_fb < 5e-3                     # tracks the f64 oracle
+    assert err_raw > 10 * err_fb             # fallback genuinely needed
+
+
 def test_sharded_multimodal_matches_single_device(rng):
     """Multimodal CMF with the column axis sharded over the 8-device CPU
     mesh == single device (VERDICT r1 item 9)."""

@@ -481,6 +481,111 @@ def _register(q):
     return q
 
 
+def test_job_specs(tmp_path):
+    """deployment/jobs.json drives the queue: templates render with
+    submit-time params overriding the job definition's defaults (Batch
+    `parameters` semantics, deployment/compute-ime/invoke-ime:21-33)."""
+    from srcfinder_tpu.flow.deploy import (load_job_specs, render_command,
+                                           register_job_specs, Job,
+                                           JobQueue)
+    import srcfinder_tpu
+
+    specs_path = os.path.join(os.path.dirname(srcfinder_tpu.__file__),
+                              "..", "deployment", "jobs.json")
+    specs = load_job_specs(specs_path)
+    assert "compute-ime" in specs and "msf-flow" in specs
+
+    argv = render_command(specs["compute-ime"], {"CMF_IMG": "/d/x_cmf_img"})
+    assert argv[0] == "srcfinder-ime" and "/d/x_cmf_img" in argv
+    assert "1500" in argv and "10 20 50" in argv        # defaults applied
+    argv2 = render_command(specs["compute-ime"],
+                           {"CMF_IMG": "/d/x", "PPMMTHR": 1000})
+    assert "1000" in argv2 and "1500" not in argv2      # override wins
+
+    ran = []
+    q = JobQueue()
+    register_job_specs(q, specs, runner=ran.append)
+    q.submit(Job("msf-flow", {"PLUME_LIST": "p.csv", "WIND_DIR": "w",
+                              "OUTFILE": "o.csv"}))
+    assert ran == [["srcfinder-msf-flow", "--flmode", "p.csv",
+                    "-w", "w", "-o", "o.csv"]]
+    # a missing required placeholder is a hard error, not a silent blank
+    with pytest.raises(KeyError):
+        render_command(specs["msf-flow"], {})
+
+
+def test_ime_cli(tmp_path, rng):
+    """srcfinder-ime over a synthetic CMF: plume rows + summary CSV."""
+    from srcfinder_tpu.flow import ime_worker
+    from srcfinder_tpu.core.envi import save_envi
+
+    cmf = np.zeros((40, 30, 4), np.float32)
+    cmf[..., :3] = 5.0
+    cmf[10:16, 8:12, 3] = 2000.0                 # one strong plume
+    meta = {"data ignore value": -9999,
+            "map info": ["UTM", "1", "1", "272247.15", "3992010.65",
+                         "3.1", "3.1", "11", "North", "WGS-84",
+                         "units=Meters", "rotation=0"]}
+    p = str(tmp_path / "ang_test_cmf_img.hdr")
+    save_envi(p, cmf, metadata=meta, interleave="bip")
+    out = str(tmp_path / "ime.csv")
+    ime_worker.main([p, "-o", out, "--ppmmthr", "1500",
+                     "--mergedists", "10 20"])
+    df = pd.read_csv(out)
+    assert len(df) == 2                          # one plume x two dists
+    assert (df.ime_kg > 0).all()
+    assert set(df.mergedist_m) == {10.0, 20.0}
+
+
+def test_merge_ime_into_plumelist():
+    """Per-candidate IME-column attach: proximity match, mean/std across
+    merge distances, aspect from the 20 m distance; far candidates stay
+    NaN (emission stage then reports NA)."""
+    from srcfinder_tpu.flow.ime_worker import merge_ime_into_plumelist
+
+    ime = pd.DataFrame([
+        dict(mergedist_m=10, ime_div_fetch=0.4, aspect=0.5,
+             lat=36.0, lon=-119.5),
+        dict(mergedist_m=20, ime_div_fetch=0.6, aspect=0.7,
+             lat=36.0002, lon=-119.5),
+        dict(mergedist_m=20, ime_div_fetch=9.9, aspect=0.1,
+             lat=37.5, lon=-118.0),      # a different, far-away plume
+    ])
+    plumes = pd.DataFrame([
+        {"Candidate ID": "c1", "Plume Latitude (deg)": 36.0001,
+         "Plume Longitude (deg)": -119.5},
+        {"Candidate ID": "c2", "Plume Latitude (deg)": 40.0,
+         "Plume Longitude (deg)": -100.0},
+    ])
+    out = merge_ime_into_plumelist(plumes, ime, radius_m=150.0)
+    assert out.loc[0, "AvgIMEdivFetch20 (kg/m)"] == pytest.approx(0.5)
+    assert out.loc[0, "StdIMEdivFetch20 (kg/m)"] == pytest.approx(0.1)
+    assert out.loc[0, "Aspect ratio20"] == pytest.approx(0.7)
+    assert np.isnan(out.loc[1, "AvgIMEdivFetch20 (kg/m)"])
+
+
+def test_harvest_cli(tmp_path):
+    """srcfinder-harvest end-to-end with a file:// fetch via the yaml
+    config (reference harvest.py CLI flags)."""
+    from srcfinder_tpu.flow import harvester
+
+    src = tmp_path / "remote"
+    os.makedirs(src)
+    for h in range(24):
+        (src / f"file_{h:02d}.grib2").write_text(str(h))
+    conf = tmp_path / "ds.yaml"
+    conf.write_text(
+        f"url_template: file://{src}/file_%H.grib2\n"
+        "local_path_template: '%Y%m%d/file_%H.grib2'\n"
+        "time_res: '6h'\n")
+    rc = harvester.main(["-c", str(conf), "-b", str(tmp_path / "local"),
+                         "-s", "20200924", "-n", "1"])
+    assert rc == 0
+    got = sorted(os.listdir(tmp_path / "local" / "20200924"))
+    assert got == ["file_00.grib2", "file_06.grib2", "file_12.grib2",
+                   "file_18.grib2"]
+
+
 def test_msf_flow_end_to_end(tmp_path, rng):
     """Orchestrator: plume csv -> wind stats + emissions -> merged output
     with .bak on re-run (reference: msf_flow.py main flow)."""
@@ -886,6 +991,105 @@ def test_wind_mnstd_over_complex_grib(tmp_path, rng):
     res = wind_mnstd(10, (-118.5, 34.5), files)
     np.testing.assert_allclose(res[0], 5.0, atol=1e-9)
     np.testing.assert_allclose(res[1], 0.0, atol=1e-9)
+
+
+def _encode_image_field(number, level, values, codec="j2k", D=1):
+    """Sections 4-7 for one field, JPEG2000 (5.40) or PNG (5.41) image
+    packing — encoded with Pillow, independent of the decoder under
+    test. Values must be multiples of 10^-D with span < 2^16 for a
+    lossless round-trip."""
+    import io
+    from PIL import Image
+
+    y = np.asarray(values, np.float64)
+    scaled = np.round(y * 10.0 ** D).astype(np.int64)
+    R = float(scaled.min())
+    x = scaled - np.int64(R)                      # E=0
+    assert x.max() < (1 << 16)
+    im = Image.fromarray(x.astype(np.uint16))     # mode I;16
+    buf = io.BytesIO()
+    if codec == "j2k":
+        # raw codestream (SOC-marker), reversible 5/3 wavelet = lossless,
+        # exactly what wgrib2/NCEP emit for RTMA
+        im.save(buf, format="JPEG2000", irreversible=False, no_jp2=True)
+        tmpl = 40
+    else:
+        im.save(buf, format="PNG")
+        tmpl = 41
+    payload = buf.getvalue()
+
+    sec4 = bytearray(34)
+    sec4[0:4] = struct.pack(">I", 34)
+    sec4[4] = 4
+    sec4[7:9] = struct.pack(">H", 0)
+    sec4[9] = 2
+    sec4[10] = number
+    sec4[22] = 103
+    sec4[23] = 0
+    sec4[24:28] = struct.pack(">I", level)
+
+    sec5 = bytearray(23 if tmpl == 40 else 21)
+    sec5[0:4] = struct.pack(">I", len(sec5))
+    sec5[4] = 5
+    sec5[5:9] = struct.pack(">I", y.size)
+    sec5[9:11] = struct.pack(">H", tmpl)
+    sec5[11:15] = struct.pack(">f", R)
+    sec5[15:17] = _sm_bytes(0, 2)                 # E
+    sec5[17:19] = _sm_bytes(D, 2)                 # D
+    sec5[19] = 16                                 # nbits (image depth)
+    sec5[20] = 0                                  # original type: float
+    if tmpl == 40:
+        sec5[21] = 0                              # lossless
+        sec5[22] = 255                            # ratio n/a
+
+    sec6 = struct.pack(">IBB", 6, 6, 255)
+    sec7 = struct.pack(">IB", 5 + len(payload), 7) + payload
+    return bytes(sec4) + bytes(sec5) + sec6 + sec7
+
+
+def _encode_grib2_image(path, grid, codec="j2k", levels=(10,)):
+    """Full GRIB2 file: template 3.0 grid + JPEG2000/PNG packing (the
+    real NCEP RTMA2.5 encoding is 5.40)."""
+    d = grid.valid_date
+    sec1 = (struct.pack(">IB", 21, 1) + bytes(7)
+            + struct.pack(">H5B", d.year, d.month, d.day, d.hour,
+                          d.minute, d.second) + bytes(2))
+    ny, nx = grid.u.shape
+    sec3 = bytearray(72)
+    sec3[0:4] = struct.pack(">I", 72)
+    sec3[4] = 3
+    sec3[12:14] = struct.pack(">H", 0)
+    sec3[30:34] = struct.pack(">I", nx)
+    sec3[34:38] = struct.pack(">I", ny)
+    sec3[46:50] = _sm_bytes(int(grid.lat[0, 0] * 1e6), 4)
+    sec3[50:54] = _sm_bytes(int(grid.lon[0, 0] * 1e6), 4)
+    sec3[55:59] = _sm_bytes(int(grid.lat[-1, 0] * 1e6), 4)
+    sec3[59:63] = _sm_bytes(int(grid.lon[0, -1] * 1e6), 4)
+    payload = sec1 + bytes(sec3)
+    for lev in levels:
+        payload += _encode_image_field(2, lev, grid.u, codec)
+        payload += _encode_image_field(3, lev, grid.v, codec)
+    payload += _encode_image_field(22, levels[0], grid.gust, codec)
+    payload += b"7777"
+    msg = (b"GRIB" + bytes([0, 0, 0, 2])
+           + struct.pack(">Q", 16 + len(payload)) + payload)
+    with open(path, "wb") as f:
+        f.write(msg)
+
+
+@pytest.mark.parametrize("codec", ["j2k", "png"])
+def test_grib2_image_packing_roundtrip(tmp_path, rng, codec):
+    """Templates 5.40 (JPEG2000 — the real NCEP RTMA encoding) and 5.41
+    (PNG): lossless round-trip through Pillow-encoded fields."""
+    pytest.importorskip("PIL")
+    g = _tenths_grid(rng, ny=11, nx=13)
+    p = str(tmp_path / "rtma2p5_ru.t2100z.2dvaranl_ndfd.grib2")
+    _encode_grib2_image(p, g, codec=codec)
+    back = flow.read_wind_grid(p)
+    np.testing.assert_allclose(back.u, g.u, atol=1e-9)
+    np.testing.assert_allclose(back.v, g.v, atol=1e-9)
+    np.testing.assert_allclose(back.gust, g.gust, atol=1e-9)
+    assert back.valid_date == g.valid_date
 
 
 def test_sm_int():
