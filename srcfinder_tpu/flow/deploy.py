@@ -34,7 +34,7 @@ from .utils import DirWatcher
 
 __all__ = ["Job", "JobQueue", "watch_and_trigger", "IME_JOB_DEFAULTS",
            "load_job_specs", "render_command", "make_cli_handler",
-           "register_job_specs"]
+           "register_job_specs", "run_jobs"]
 
 #: reference Batch parameters for the compute-ime job
 #: (deployment/compute-ime/invoke-ime:21-33)
@@ -170,3 +170,88 @@ def watch_and_trigger(watch_dir: str, job_type: str, jobq: JobQueue,
         jobq.submit(job)
         jobs.append(job)
     return jobs
+
+
+def run_jobs(specs: dict, watch_dir: str, extra_params: dict | None = None,
+             once: bool = True, workers: int = 0, runner=None,
+             force: bool = False, interval: float = 5.0,
+             max_cycles: int | None = None):
+    """The local job scheduler: one event stream over ``watch_dir``,
+    fanned out to every job whose trigger regex matches each new file
+    (the S3-event -> per-Lambda-filter model of the reference's
+    deployment; deployment/README.md:3-27). ``extra_params`` supplies
+    the non-trigger placeholders (e.g. LIBRARY, WEIGHTS, OUTDIR) shared
+    by all jobs. ``once`` processes the current backlog and returns;
+    otherwise polls every ``interval`` seconds (``max_cycles`` bounds
+    the loop for tests). Returns (queue, submitted jobs)."""
+    import re as _re
+    import time as _time
+
+    jobq = JobQueue(workers=workers)
+    register_job_specs(jobq, specs, runner)
+    triggers = [(name, _re.compile(spec["trigger"]["regex"]),
+                 spec["trigger"].get("param", "path"))
+                for name, spec in specs.items() if spec.get("trigger")]
+    extra = dict(extra_params or {})
+
+    submitted = []
+    cycles = 0
+    while True:
+        watcher = DirWatcher(watch_dir, force=force and cycles == 0)
+        for path in watcher.whats_new_local():
+            for name, rx, param in triggers:
+                if rx.search(path):
+                    job = Job(name, {param: path, **extra})
+                    jobq.submit(job)
+                    submitted.append(job)
+        cycles += 1
+        if once or (max_cycles is not None and cycles >= max_cycles):
+            break
+        _time.sleep(interval)
+    jobq.join()
+    return jobq, submitted
+
+
+def main(argv=None):
+    """``srcfinder-jobs`` — run the declarative job map over a watched
+    directory (the local stand-in for the reference's S3-event ->
+    Lambda/Batch wiring)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Event-driven job runner over deployment/jobs.json")
+    p.add_argument("specs", help="job-definition JSON (deployment/jobs.json)")
+    p.add_argument("--watch", required=True, help="directory to watch")
+    p.add_argument("--once", action="store_true",
+                   help="process the current backlog and exit")
+    p.add_argument("--force", action="store_true",
+                   help="treat all existing files as new")
+    p.add_argument("--workers", type=int, default=0)
+    p.add_argument("--interval", type=float, default=5.0)
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                   help="extra command parameters (repeatable)")
+    p.add_argument("--jobs", default=None,
+                   help="comma-separated subset of job names to enable")
+    args = p.parse_args(argv)
+
+    specs = load_job_specs(args.specs)
+    if args.jobs:
+        keep = set(args.jobs.split(","))
+        unknown = keep - set(specs)
+        if unknown:
+            p.error(f"unknown jobs: {sorted(unknown)}")
+        specs = {k: v for k, v in specs.items() if k in keep}
+    extra = dict(kv.split("=", 1) for kv in args.set)
+    jobq, jobs = run_jobs(specs, args.watch, extra_params=extra,
+                          once=args.once, workers=args.workers,
+                          force=args.force, interval=args.interval)
+    print(f"[INFO] submitted {len(jobs)} job(s); "
+          f"{len(jobq.results)} ok, {len(jobq.failures)} failed")
+    for job, err in jobq.failures:
+        print(f"[FAIL] {job.job_type}: {err}")
+    return 1 if jobq.failures and not jobq.results else 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

@@ -3,6 +3,7 @@ time bucketing, emissions, clustering, dedup, persistence, inversion,
 harvester, dir watcher, job queue, and the msf_flow orchestrator e2e."""
 
 import datetime as dt
+import json
 import os
 import struct
 import time
@@ -535,6 +536,53 @@ def test_ime_cli(tmp_path, rng):
     assert len(df) == 2                          # one plume x two dists
     assert (df.ime_kg > 0).all()
     assert set(df.mergedist_m) == {10.0, 20.0}
+
+
+def test_run_jobs_event_fanout(tmp_path):
+    """srcfinder-jobs: one event stream, per-job regex filters — a CMF
+    product triggers BOTH fcn-pred and compute-ime (with extra params
+    filled in), a plume list triggers msf-flow, and an unmatched file
+    triggers nothing."""
+    from srcfinder_tpu.flow.deploy import load_job_specs, run_jobs
+    import srcfinder_tpu
+
+    specs = load_job_specs(os.path.join(
+        os.path.dirname(srcfinder_tpu.__file__), "..", "deployment",
+        "jobs.json"))
+    d = tmp_path / "incoming"
+    os.makedirs(d)
+    (d / "ang1_cmf_v2_img").write_text("x")
+    (d / "ang1_plumes_minppmm500.csv").write_text("x")
+    (d / "README.txt").write_text("x")
+
+    ran = []
+    q, jobs = run_jobs(
+        specs, str(d),
+        extra_params={"MODEL": "multi_64", "WEIGHTS": "w.npz",
+                      "OUTDIR": "o", "WIND_DIR": "w", "OUTFILE": "out.csv"},
+        once=True, force=True, runner=ran.append)
+    names = sorted(j.job_type for j in jobs)
+    assert names == ["compute-ime", "fcn-pred", "msf-flow"]
+    assert not q.failures
+    ime_argv = next(a for a in ran if a[0] == "srcfinder-ime")
+    assert any("ang1_cmf_v2_img" in s for s in ime_argv)
+    assert "1500" in ime_argv                  # job-definition default
+
+
+def test_jobs_cli(tmp_path):
+    """srcfinder-jobs CLI end-to-end with a trivially-runnable spec."""
+    from srcfinder_tpu.flow import deploy
+
+    spec = {"echo": {"command": ["python", "-c",
+                                 "import sys; sys.exit(0)", "{path}"],
+                     "trigger": {"regex": r".*\.dat$", "param": "path"}}}
+    sf = tmp_path / "jobs.json"
+    sf.write_text(json.dumps(spec))
+    d = tmp_path / "in"
+    os.makedirs(d)
+    (d / "a.dat").write_text("1")
+    rc = deploy.main([str(sf), "--watch", str(d), "--once", "--force"])
+    assert rc == 0
 
 
 def test_merge_ime_into_plumelist():
