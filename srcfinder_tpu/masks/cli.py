@@ -48,6 +48,9 @@ def build_parser():
                         "deployment/spectrometer-masks/masks_sds.py:261-330)")
     p.add_argument("--store-out", default=None,
                    help="object-store URI to UPLOAD the mask products to")
+    p.add_argument("--device", choices=["default", "cpu"], default="default",
+                   help="run the (elementwise, transfer-bound) mask kernel "
+                        "on the host CPU backend instead of the accelerator")
     p.add_argument("-h", "--help", action="help")
     return p
 
@@ -119,12 +122,16 @@ def main(argv=None):
                    if args.maskgrowradius else None)
         cld_px = get_radius_in_pixels(args.cldbfr, rdn.metadata)
         bip = rdn.open_memmap(interleave="bip")
+        dev = None
+        if args.device == "cpu":
+            import jax
+            dev = jax.devices("cpu")[0]
         out = masks_for_cube(
             lambda r0, r1: bip[r0:r1], rdn.nrows, rdn.ncols, wavelengths,
             params=params, maskgrowradius_px=grow_px,
             mingrowarea=args.mingrowarea, cldbfr_px=cld_px,
             block_step=args.block_step,
-            nodata_row0=np.asarray(bip[..., 0]) == -9999)
+            nodata_row0=np.asarray(bip[..., 0]) == -9999, device=dev)
 
         meta = {
             "description": "Flare and cloud mask (srcfinder_tpu).",

@@ -165,17 +165,28 @@ def masks_for_cube(read_block, nrows: int, ncols: int, wavelengths,
                    params: MaskParams = MaskParams(),
                    maskgrowradius_px: float = None, mingrowarea=None,
                    cldbfr_px: float = 0.0, block_step: int = 500,
-                   nodata_row0=None):
+                   nodata_row0=None, device=None):
     """Stream a flightline in line blocks and assemble the 4-band mask.
 
     read_block(r0, r1) -> (rows, cols, bands) float block.
     Returns (rows, cols, 4) int16: [cloud(buffered), specular, flare, dark]
     (reference: masks_sds.py:284-348).
+
+    ``device``: optional jax.Device for the per-block kernel. The masks
+    are elementwise threshold tests — arithmetic intensity ~1 — so when
+    the accelerator sits behind a slow interconnect the host->device
+    transfer dominates; ``device=jax.devices("cpu")[0]`` keeps the same
+    jitted kernel on the host backend (identical outputs, no transfer).
     """
+    import contextlib
+    import jax as _jax
+    dev_ctx = (_jax.default_device(device) if device is not None
+               else contextlib.nullcontext())
     wl_full = np.asarray(wavelengths, np.float32)
     need = needed_bands(wl_full, params)
     params = _compact_params(params, need)
-    wavelengths = jnp.asarray(wl_full[need])
+    with dev_ctx:
+        wavelengths = jnp.asarray(wl_full[need])
     sat_full = np.zeros((nrows, ncols), np.uint8)
     cloud_full = np.zeros((nrows, ncols), np.uint8)
     spec_full = np.zeros((nrows, ncols), np.uint8)
@@ -194,9 +205,10 @@ def masks_for_cube(read_block, nrows: int, ncols: int, wavelengths,
             blk = np.concatenate(
                 [blk, np.full((block_length - blk.shape[0],) + blk.shape[1:],
                               -9999.0, np.float32)], axis=0)
-        sat, cloud, spec, dark = (np.asarray(m)[: r1 - r0] for m in
-                                  pixel_masks(jnp.asarray(blk), wavelengths,
-                                              params))
+        with dev_ctx:
+            sat, cloud, spec, dark = (np.asarray(m)[: r1 - r0] for m in
+                                      pixel_masks(jnp.asarray(blk),
+                                                  wavelengths, params))
         spec_full[r0:r1][spec] = 1
         cloud_full[r0:r1][cloud] = 1
         dark_full[r0:r1][dark] = 1

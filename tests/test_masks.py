@@ -117,7 +117,7 @@ def test_cli_end_to_end(tmp_path, rng):
     # thresholds so the defaults (band 352 etc.) are not exercised here
     rc = cli.main(["--txt", str(txt), "--inpath", str(tmp_path) + os.sep,
                    "--outpath", str(outdir) + os.sep,
-                   "-M", "2px", "-A", "1", "-B", "1px"])
+                   "-M", "2px", "-A", "1", "-B", "1px", "--device", "cpu"])
     # the default MaskParams index bands past nb; the CLI is exercised for
     # plumbing only when it succeeds
     assert rc == 0 or rc is None
