@@ -51,6 +51,16 @@ __all__ = [
     "masked_moments", "MFResult", "matched_filter_columns", "mf_column_stats",
 ]
 
+
+def _einsum(*args, **kw):
+    """einsum pinned to full-f32 accumulation. On TPU the default matmul
+    precision lowers f32 contractions to bfloat16 MXU passes, which moves
+    the MF by ~4e-2 relative (measured on hardware) — far outside the
+    characterized f32 envelope (tests/test_cmf_f32.py). HIGHEST restores
+    the CPU-f32 numerics at negligible cost for these (B=72) shapes."""
+    kw.setdefault("precision", jax.lax.Precision.HIGHEST)
+    return jnp.einsum(*args, **kw)
+
 #: matched-filter score -> ppm*m (reference: robust_mf.py:38)
 PPM_SCALING = 100000.0
 
@@ -92,9 +102,9 @@ def masked_moments(x, m, eps=1e-30):
     dt = x.dtype
     m = m.astype(dt)
     n = m.sum(axis=0)                                     # (C,)
-    mu = jnp.einsum("lc,lcb->cb", m, x) / jnp.maximum(n, 1.0)[:, None]
+    mu = _einsum("lc,lcb->cb", m, x) / jnp.maximum(n, 1.0)[:, None]
     xc = (x - mu[None, :, :]) * m[:, :, None]
-    S = jnp.einsum("lcb,lcd->cbd", xc, xc) / jnp.maximum(n - 1.0, 1.0)[:, None, None]
+    S = _einsum("lcb,lcd->cbd", xc, xc) / jnp.maximum(n - 1.0, 1.0)[:, None, None]
     return n, mu, S
 
 
@@ -135,12 +145,12 @@ def _loo_nll(lam, Z, logdiag, n, m, alphas, nchan):
               + jnp.sum(jnp.log(safe_glam), axis=1))                      # (C, A)
 
     # r_k(a) = sum_i Z_ki^2 / glam_ia  -> one MXU matmul per column
-    r = jnp.einsum("lcb,cba->lca", Z * Z, 1.0 / safe_glam)                # (L, C, A)
+    r = _einsum("lcb,cba->lca", Z * Z, 1.0 / safe_glam)                # (L, C, A)
     q = 1.0 - beta[None, :, :] * r                                        # (L, C, A)
     q_ok = jnp.all(jnp.where(m[:, :, None] > 0, q > 0, True), axis=0)     # (C, A)
     safe_q = jnp.where(q > 0, q, 1.0)
     per = jnp.log(safe_q) + r / safe_q                                    # (L, C, A)
-    ssum = jnp.einsum("lc,lca->ca", m.astype(dt), per)                    # (C, A)
+    ssum = _einsum("lc,lca->ca", m.astype(dt), per)                    # (C, A)
 
     nchanlog2pi = nchan * jnp.log(2.0 * jnp.asarray(np.pi, dt))
     nll = 0.5 * (nchanlog2pi + logdet) + ssum / (2.0 * jnp.maximum(n, 1.0))[:, None]
@@ -206,7 +216,7 @@ def matched_filter_columns(x, m, abscf, alphas, model: str = "looshrinkage",
             jnp.diagonal(Lc, axis1=1, axis2=2), 1e-300))
 
     xc = (x - mu[None, :, :]) * m[:, :, None]                      # zero-mean valid
-    Z = jnp.einsum("lcb,cbk->lck", xc, Wmat)                       # (L, C, B)
+    Z = _einsum("lcb,cbk->lck", xc, Wmat)                       # (L, C, B)
 
     if model == "looshrinkage":
         nll = _loo_nll(lam, Z, logdiag, n if n_loo is None else n_loo,
@@ -230,12 +240,12 @@ def matched_filter_columns(x, m, abscf, alphas, model: str = "looshrinkage",
     # target: t = abscf * mu (radiance) or abscf - mu (reflectance)
     # (reference: robust_mf.py:378-379)
     t = (abscf[None, :] - mu) if reflectance else (abscf[None, :] * mu)
-    tw = jnp.einsum("cb,cbk->ck", t, Wmat)                         # Wmat^T t
+    tw = _einsum("cb,cbk->ck", t, Wmat)                         # Wmat^T t
     # normalizer = t^T C^-1 t
     normalizer = jnp.sum(tw * tw / clam, axis=1)                   # (C,)
     # y = C^-1 t in the whitened basis applied to Z: mf_l = Z_l . (tw/clam)
     y = tw / clam                                                  # (C, B)
-    mf = jnp.einsum("lck,ck->lc", Z, y) / jnp.maximum(normalizer, 1e-300)[None, :]
+    mf = _einsum("lck,ck->lc", Z, y) / jnp.maximum(normalizer, 1e-300)[None, :]
 
     mf = jnp.where(m > 0, mf, 0.0) * jnp.where(ok, 1.0, 0.0)[None, :]
     cond = jnp.clip(lam[:, 0], 0.0) / jnp.maximum(lam[:, -1], 1e-300)
@@ -337,8 +347,8 @@ def mf_column_stats(mf_ppmm, m, nodata=-9999.0):
     m = m.astype(mf_ppmm.dtype)
     n = m.sum(axis=0)
     ok = n > 0
-    avg = jnp.einsum("lc,lc->c", m, mf_ppmm) / jnp.maximum(n, 1.0)
-    var = jnp.einsum("lc,lc->c", m, (mf_ppmm - avg[None, :]) ** 2) / jnp.maximum(n, 1.0)
+    avg = _einsum("lc,lc->c", m, mf_ppmm) / jnp.maximum(n, 1.0)
+    var = _einsum("lc,lc->c", m, (mf_ppmm - avg[None, :]) ** 2) / jnp.maximum(n, 1.0)
     std = jnp.sqrt(var)
     return (jnp.where(ok, n, nodata),
             jnp.where(ok, avg, nodata),
