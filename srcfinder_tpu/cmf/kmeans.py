@@ -25,6 +25,11 @@ import jax.numpy as jnp
 
 __all__ = ["masked_pca_project", "kmeans_columns"]
 
+# full-f32 accumulation: the TPU default lowers f32 contractions to bf16
+# MXU passes, which can flip cluster assignments near Voronoi boundaries
+# (see cmf/matched_filter._einsum for the measured MF-side drift)
+from .matched_filter import _einsum
+
 
 def masked_pca_project(x, m, pcadim: int):
     """Project each column's valid spectra onto its top principal axes.
@@ -37,7 +42,7 @@ def masked_pca_project(x, m, pcadim: int):
     lam, V = jnp.linalg.eigh(S)                    # ascending eigenvalues
     Vtop = V[:, :, ::-1][:, :, :pcadim]            # (C, B, P) descending
     xc = (x - mu[None, :, :]) * m[:, :, None]
-    return jnp.einsum("lcb,cbp->lcp", xc, Vtop)
+    return _einsum("lcb,cbp->lcp", xc, Vtop)
 
 
 def _kpp_init(z, m, k, key):
@@ -81,13 +86,13 @@ def kmeans_columns(z, m, k: int, iters: int = 25, seed: int = 0):
 
     def step(cent, _):
         d2 = (jnp.sum(z * z, axis=-1)[:, :, None]
-              - 2.0 * jnp.einsum("lcp,ckp->lck", z, cent)
+              - 2.0 * _einsum("lcp,ckp->lck", z, cent)
               + jnp.sum(cent * cent, axis=-1)[None])               # (L, C, K)
         lab = jnp.argmin(d2, axis=2)                               # (L, C)
         onehot = (jax.nn.one_hot(lab, k, dtype=z.dtype)
                   * m[:, :, None])                                 # (L, C, K)
         cnt = onehot.sum(axis=0)                                   # (C, K)
-        sums = jnp.einsum("lck,lcp->ckp", onehot, z)               # (C, K, P)
+        sums = _einsum("lck,lcp->ckp", onehot, z)               # (C, K, P)
         newc = sums / jnp.maximum(cnt, 1.0)[:, :, None]
         # keep old centroid for empty clusters
         newc = jnp.where((cnt > 0)[:, :, None], newc, cent)
@@ -95,7 +100,7 @@ def kmeans_columns(z, m, k: int, iters: int = 25, seed: int = 0):
 
     cent, _ = jax.lax.scan(step, cent, None, length=iters)
     d2 = (jnp.sum(z * z, axis=-1)[:, :, None]
-          - 2.0 * jnp.einsum("lcp,ckp->lck", z, cent)
+          - 2.0 * _einsum("lcp,ckp->lck", z, cent)
           + jnp.sum(cent * cent, axis=-1)[None])
     labels = jnp.argmin(d2, axis=2).astype(jnp.int32)
     return labels, cent

@@ -26,28 +26,33 @@ __all__ = ["ols_inversion", "bayesian_inversion", "background_percentile"]
 def ols_inversion(H, y, background=1860.0):
     """x_hat = (H^T H)^-1 H^T (y - background); solved via Cholesky on the
     normal equations (reference: inversion-run lambda_function.py:196-205).
+    Matmul precision pinned to full f32: the TPU default lowers f32
+    products to bf16 MXU passes (see cmf/matched_filter._einsum).
     """
-    H = jnp.asarray(H)
-    rhs = H.T @ (jnp.asarray(y) - background)
-    A = H.T @ H
-    # small ridge keeps the toy problem solvable when columns are empty
-    A = A + 1e-9 * jnp.eye(A.shape[0], dtype=A.dtype)
-    c, lower = jax.scipy.linalg.cho_factor(A)
-    return jax.scipy.linalg.cho_solve((c, lower), rhs)
+    with jax.default_matmul_precision("highest"):
+        H = jnp.asarray(H)
+        rhs = H.T @ (jnp.asarray(y) - background)
+        A = H.T @ H
+        # small ridge keeps the toy problem solvable when columns are empty
+        A = A + 1e-9 * jnp.eye(A.shape[0], dtype=A.dtype)
+        c, lower = jax.scipy.linalg.cho_factor(A)
+        return jax.scipy.linalg.cho_solve((c, lower), rhs)
 
 
 @jax.jit
 def bayesian_inversion(H, y, x_a, S_a, S_o):
     """Rodgers (2000) linear-Gaussian posterior mean:
     x_hat = x_a + S_a H^T (H S_a H^T + S_o)^-1 (y - H x_a)
-    (reference: inversion-run.py:61-116)."""
-    H = jnp.asarray(H)
-    x_a = jnp.asarray(x_a)
-    K = H @ jnp.asarray(S_a) @ H.T + jnp.asarray(S_o)
-    resid = jnp.asarray(y) - H @ x_a
-    c, lower = jax.scipy.linalg.cho_factor(K)
-    return x_a + jnp.asarray(S_a) @ H.T @ jax.scipy.linalg.cho_solve(
-        (c, lower), resid)
+    (reference: inversion-run.py:61-116). Matmul precision pinned to
+    full f32 (see cmf/matched_filter._einsum)."""
+    with jax.default_matmul_precision("highest"):
+        H = jnp.asarray(H)
+        x_a = jnp.asarray(x_a)
+        K = H @ jnp.asarray(S_a) @ H.T + jnp.asarray(S_o)
+        resid = jnp.asarray(y) - H @ x_a
+        c, lower = jax.scipy.linalg.cho_factor(K)
+        return x_a + jnp.asarray(S_a) @ H.T @ jax.scipy.linalg.cho_solve(
+            (c, lower), resid)
 
 
 def background_percentile(values, times, q: float = 5.0):
