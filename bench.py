@@ -48,7 +48,7 @@ def main():
     dtype_name = os.environ.get("SRCFINDER_BENCH_DTYPE", "bfloat16")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     chunks = tuple(int(c) for c in os.environ.get(
-        "SRCFINDER_BENCH_CHUNKS", "4,8,16,1").split(","))
+        "SRCFINDER_BENCH_CHUNKS", "2,4,8,1").split(","))
     iters = int(os.environ.get("SRCFINDER_BENCH_ITERS", "3"))
 
     model = googlenet(num_classes=2, dropout=0.0, dropout_aux=0.0,

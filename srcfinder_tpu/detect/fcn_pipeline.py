@@ -184,7 +184,7 @@ def _stage45_probs(model: GoogLeNet, variables, feats3, fill4, fill5,
 
 
 def fcn_phase_saliency(model: GoogLeNet, variables, img, scale: int = 32,
-                       chunks=(4, 8, 16, 1), mesh=None, mesh_axes=None):
+                       chunks=(2, 4, 8, 1), mesh=None, mesh_axes=None):
     """Phase-deduplicated shift-and-stitch: exact fast path.
 
     The 1024 shift forwards share a binary phase tree — a stride-2 stage

@@ -97,7 +97,9 @@ def detection_ime_stats(cmf, mapinfo_dict, ppmmthr=None, fetchmax=None,
                              aspect=_plume_aspect(mask),
                              row=r0, col=c0, lat=float(lat),
                              lon=float(lon)))
-    return pd.DataFrame(rows)
+    return pd.DataFrame(rows, columns=[
+        "mergedist_m", "plume", "area_px", "ime_kg", "fetch_m",
+        "ime_div_fetch", "aspect", "row", "col", "lat", "lon"])
 
 
 def compute_ime_for_cmf(cmf_path, out_csv=None, **params):

@@ -159,7 +159,11 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
                     # reference's compute-ime job updates the plume list
                     # the same way before msf-flow consumes it)
                     from .ime_worker import merge_ime_into_plumelist
-                    merge_ime_into_plumelist(pdf, pd.read_csv(imef))
+                    try:
+                        ime_df = pd.read_csv(imef)
+                    except pd.errors.EmptyDataError:   # zero detections
+                        ime_df = pd.DataFrame()
+                    merge_ime_into_plumelist(pdf, ime_df)
                 pdf.to_csv(tagged, index=False)
                 plumes = process_plumes([tagged], winds, ext=wind_ext)
                 insert_plumes_in_file(plumes, outcsv)

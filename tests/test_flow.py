@@ -1140,6 +1140,36 @@ def test_grib2_image_packing_roundtrip(tmp_path, rng, codec):
     assert back.valid_date == g.valid_date
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_grib2_randomized_roundtrip(tmp_path, seed):
+    """Seeded randomized sweep across packings (5.2 / 5.3 order 1-2 /
+    5.40 / 5.41), grid sizes and value ranges — property coverage for
+    the hand-written codec beyond the crafted cases."""
+    r = np.random.default_rng(seed)
+    ny, nx = int(r.integers(3, 18)), int(r.integers(3, 18))
+    scale = float(r.choice([0.1, 1.0, 10.0]))
+    off = float(r.choice([-40.0, 0.0, 7.3]))
+    def field():
+        return np.round((r.normal(size=(ny, nx)) * scale + off) * 10) / 10
+    g = flow.WindGrid(
+        np.linspace(30, 31, ny)[:, None] * np.ones((1, nx)),
+        np.ones((ny, 1)) * np.linspace(-110, -109, nx)[None, :],
+        field(), field(), np.abs(field()),
+        dt.datetime(2021, int(r.integers(1, 13)), 12, int(r.integers(24))))
+    kind = ["c0", "c1", "c2", "j2k", "png"][seed % 5]
+    p = str(tmp_path / f"hrrr.2021010100.wrfsfcf00.grib2")
+    if kind.startswith("c"):
+        _encode_grib2_complex(p, g, spatial_order=int(kind[1]))
+    else:
+        pytest.importorskip("PIL")
+        _encode_grib2_image(p, g, codec=kind)
+    back = flow.read_wind_grid(p)
+    np.testing.assert_allclose(back.u, g.u, atol=1e-6)
+    np.testing.assert_allclose(back.v, g.v, atol=1e-6)
+    np.testing.assert_allclose(back.gust, g.gust, atol=1e-6)
+    assert back.valid_date == g.valid_date
+
+
 def test_sm_int():
     from srcfinder_tpu.flow.windgrid import _sm_int
     assert _sm_int(b"\x00\x0a") == 10
