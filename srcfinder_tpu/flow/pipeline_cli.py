@@ -46,8 +46,8 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
                    prob_thr: float = 0.5, ppmm_thr: float = 250.0,
                    method: str = "auto", winds: str | None = None,
                    wind_ext: str = ".grib2", do_ime: bool = False,
-                   quicklooks: bool = False, dtype="float32",
-                   col_chunk: int = 256, progress=print):
+                   do_masks: bool = False, quicklooks: bool = False,
+                   dtype="float32", col_chunk: int = 256, progress=print):
     """Run all stages for one flightline; returns dict of products."""
     import numpy as np
     from ..core import envi as envi_io
@@ -75,6 +75,23 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
             robust_mf_image(radiance, library, cmff, bgmodes=bgmodes,
                             dtype=np.dtype(dtype).type,
                             col_chunk=col_chunk)
+
+    # ---- L2b: spectrometer masks (radiance-side, independent) ----------
+    if do_masks:
+        from ..masks.cli import masks_for_flightline, mask_output_name
+        mskname = mask_output_name(stem)
+        mskf = os.path.join(outdir, mskname)
+        products["masks"] = mskf
+        if os.path.exists(mskf):
+            progress(f"[SKIP] masks exist: {mskf}")
+        else:
+            with _stage("masks", timers, progress):
+                try:
+                    masks_for_flightline(radiance, outdir,
+                                         out_name=mskname)
+                except ValueError as e:      # no wavelength metadata
+                    progress(f"[WARN] masks skipped: {e}")
+                    products["masks"] = None
 
     # ---- L3: FCN saliency ----------------------------------------------
     salf = os.path.join(outdir, os.path.basename(cmff) + "_saliency")
@@ -194,6 +211,8 @@ def build_parser():
                    "(enables the emission stage)")
     p.add_argument("--wind-ext", default=".grib2")
     p.add_argument("--ime", action="store_true")
+    p.add_argument("--masks", action="store_true",
+                   help="also generate the 4-band spectrometer QC mask\n                   (needs wavelength metadata in the radiance header)")
     p.add_argument("--quicklooks", action="store_true")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "float64"])
@@ -218,7 +237,8 @@ def main(argv=None):
                   bgmodes=args.bgmodes, prob_thr=args.prob_thr,
                   ppmm_thr=args.ppmm_thr, method=args.method,
                   winds=args.winds, wind_ext=args.wind_ext,
-                  do_ime=args.ime, quicklooks=args.quicklooks,
+                  do_ime=args.ime, do_masks=args.masks,
+                  quicklooks=args.quicklooks,
                   dtype=args.dtype, col_chunk=args.col_chunk)
 
     if args.watch:

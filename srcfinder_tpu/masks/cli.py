@@ -64,6 +64,72 @@ def mask_output_name(f_txt: str) -> str:
     return f_txt + "_msk"
 
 
+def masks_for_flightline(rdn_path: str, outpath: str, *,
+                         saturationthreshold=None, saturationwindow=None,
+                         cld_threshold=0.9, cldbands=None,
+                         dark_threshold=0.104, cldbfr="150m",
+                         maskgrowradius="150m", mingrowarea=5,
+                         block_step=500, vis_thr=9.0, device=None,
+                         overwrite=True, out_name=None):
+    """Generate the 4-band QC mask for one radiance flightline (the masks
+    CLI's per-scene core, reusable by the one-command pipeline). Returns
+    the output image basename. Band indices are resolved from the
+    header's wavelength list (reference hardcodes the AVIRIS-NG band
+    numbers, masks_sds.py:49-59)."""
+    import numpy as np
+    from ..core import envi as envi_io
+    from .sds import MaskParams, masks_for_cube, get_radius_in_pixels
+
+    rdn = envi_io.open_envi(rdn_path)
+    wavelengths = np.array(rdn.bands.centers)
+    if wavelengths.size == 0:
+        raise ValueError(f"no wavelength metadata in {rdn_path}; the "
+                         "spectrometer masks need band centers")
+    nearest = lambda nm: int(np.argmin(np.abs(wavelengths - nm)))
+    cld = (tuple(nearest(nm) for nm in (450., 670., 1250.))
+           if cldbands is None else
+           (nearest(cldbands[0]), nearest(670.), nearest(cldbands[1])))
+    params = MaskParams(
+        saturation_threshold=(saturationthreshold
+                              if saturationthreshold is not None else 6.0),
+        saturation_window=(tuple(saturationwindow) if saturationwindow
+                           else (1945., 2485.)),
+        cld_threshold=cld_threshold,
+        cld_bands=cld,
+        dark_band=nearest(2139.),
+        spec_band=nearest(505.),
+        dark_threshold=dark_threshold,
+        vis_grow_threshold=vis_thr)
+    grow_px = (get_radius_in_pixels(maskgrowradius, rdn.metadata)
+               if maskgrowradius else None)
+    cld_px = get_radius_in_pixels(cldbfr, rdn.metadata) if cldbfr else 0.0
+    bip = rdn.open_memmap(interleave="bip")
+    out = masks_for_cube(
+        lambda r0, r1: bip[r0:r1], rdn.nrows, rdn.ncols, wavelengths,
+        params=params, maskgrowradius_px=grow_px,
+        mingrowarea=mingrowarea, cldbfr_px=cld_px,
+        block_step=block_step,
+        nodata_row0=np.asarray(bip[..., 0]) == -9999, device=device)
+
+    meta = {
+        "description": "Flare and cloud mask (srcfinder_tpu).",
+        "band names": ["Cloud mask (dimensionless)",
+                       "Specular mask (dimensionless)",
+                       "Flare mask (dimensionless)",
+                       "Dark mask (dimensionless)"],
+        "data ignore value": -9999,
+    }
+    if "map info" in rdn.metadata:
+        meta["map info"] = rdn.metadata["map info"]
+    stem = os.path.splitext(os.path.basename(rdn_path))[0]
+    if stem.endswith(".hdr"):
+        stem = os.path.splitext(stem)[0]
+    outname = out_name or mask_output_name(stem)
+    envi_io.save_envi(os.path.join(outpath, outname + ".hdr"), out,
+                      metadata=meta, interleave="bil", force=overwrite)
+    return outname
+
+
 def main(argv=None):
     import numpy as np
     from ..core import envi as envi_io
@@ -96,57 +162,23 @@ def main(argv=None):
                 if store_in.exists(f_txt + ext):
                     store_in.get(f_txt + ext,
                                  os.path.join(args.inpath, f_txt + ext))
-        rdn = envi_io.open_envi(os.path.join(args.inpath, f_txt + ".hdr"))
-        wavelengths = np.array(rdn.bands.centers)
         # band indices resolved from wavelengths: on real AVIRIS-NG these
         # land on the reference's hardcoded bands (cloud 15/60/175 =
         # 450/670/1250 nm, dark 352 = 2139 nm, specular 25 = ~505 nm)
-        nearest = lambda nm: int(np.argmin(np.abs(wavelengths - nm)))
-        cld = (tuple(nearest(nm) for nm in (450., 670., 1250.))
-               if args.cldbands is None else
-               (nearest(args.cldbands[0]), nearest(670.),
-                nearest(args.cldbands[1])))
-        params = MaskParams(
-            saturation_threshold=(args.saturationthreshold
-                                  if args.saturationthreshold is not None
-                                  else 6.0),
-            saturation_window=(tuple(args.saturationwindow)
-                               if args.saturationwindow else (1945., 2485.)),
-            cld_threshold=args.cldthreshold[0],
-            cld_bands=cld,
-            dark_band=nearest(2139.),
-            spec_band=nearest(505.),
-            dark_threshold=args.dark_threshold,
-            vis_grow_threshold=args.vis_thr)
-        grow_px = (get_radius_in_pixels(args.maskgrowradius, rdn.metadata)
-                   if args.maskgrowradius else None)
-        cld_px = get_radius_in_pixels(args.cldbfr, rdn.metadata)
-        bip = rdn.open_memmap(interleave="bip")
         dev = None
         if args.device == "cpu":
             import jax
             dev = jax.devices("cpu")[0]
-        out = masks_for_cube(
-            lambda r0, r1: bip[r0:r1], rdn.nrows, rdn.ncols, wavelengths,
-            params=params, maskgrowradius_px=grow_px,
-            mingrowarea=args.mingrowarea, cldbfr_px=cld_px,
-            block_step=args.block_step,
-            nodata_row0=np.asarray(bip[..., 0]) == -9999, device=dev)
-
-        meta = {
-            "description": "Flare and cloud mask (srcfinder_tpu).",
-            "band names": ["Cloud mask (dimensionless)",
-                           "Specular mask (dimensionless)",
-                           "Flare mask (dimensionless)",
-                           "Dark mask (dimensionless)"],
-            "data ignore value": -9999,
-        }
-        if "map info" in rdn.metadata:
-            meta["map info"] = rdn.metadata["map info"]
-        outname = mask_output_name(f_txt)
-        envi_io.save_envi(os.path.join(args.outpath, outname + ".hdr"), out,
-                          metadata=meta, interleave="bil",
-                          force=args.overwrite or True)
+        outname = masks_for_flightline(
+            os.path.join(args.inpath, f_txt + ".hdr"), args.outpath,
+            saturationthreshold=args.saturationthreshold,
+            saturationwindow=args.saturationwindow,
+            cld_threshold=args.cldthreshold[0], cldbands=args.cldbands,
+            dark_threshold=args.dark_threshold, cldbfr=args.cldbfr,
+            maskgrowradius=args.maskgrowradius,
+            mingrowarea=args.mingrowarea, block_step=args.block_step,
+            vis_thr=args.vis_thr, device=dev,
+            overwrite=args.overwrite or True, out_name=mask_output_name(f_txt))
         if store_out is not None:
             for ext in (".hdr", ""):
                 src = os.path.join(args.outpath, outname + ext)

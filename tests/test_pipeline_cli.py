@@ -21,7 +21,9 @@ def flightline(tmp_path, rng):
     meta = {"data ignore value": -9999,
             "map info": ["UTM", "1", "1", "272247.15", "3992010.65",
                          "3.1", "3.1", "11", "North", "WGS-84",
-                         "units=Meters", "rotation=0"]}
+                         "units=Meters", "rotation=0"],
+            "wavelength": [f"{w:.2f}" for w in
+                           np.linspace(380, 2500, B)]}
     rdn = str(tmp_path / "ang20200924t211102_rdn_v2y1_img")
     envi_io.save_envi(rdn + ".hdr", x, metadata=meta, interleave="bil")
     lib = np.zeros((425, 3))
@@ -63,11 +65,14 @@ def test_pipeline_end_to_end(flightline, tmp_path, capsys):
     rdn, libf, wf, winds = flightline
     outdir = str(tmp_path / "out")
     rc = main([rdn, "--library", libf, "--weights", wf, "-o", outdir,
-               "--prob_thr", "0.4", "--ppmm_thr", "250", "--ime",
+               "--prob_thr", "0.4", "--ppmm_thr", "250", "--ime", "--masks",
                "--winds", winds, "--wind-ext", ".npz",
                "--col_chunk", "8"])
     assert rc == 0
     base = "ang20200924t211102_cmf_v2y1_img"
+    mskf = os.path.join(outdir, "ang20200924t211102_msk_v2y1_img")
+    assert os.path.exists(mskf)
+    assert envi_io.open_envi(mskf).nbands == 4
     assert os.path.exists(os.path.join(outdir, base))
     assert os.path.exists(os.path.join(outdir, base + "_saliency"))
     detdir = os.path.join(outdir, base + "_detections")
@@ -87,12 +92,12 @@ def test_pipeline_end_to_end(flightline, tmp_path, capsys):
     # idempotent second run: every stage skipped
     capsys.readouterr()
     rc = main([rdn, "--library", libf, "--weights", wf, "-o", outdir,
-               "--prob_thr", "0.4", "--ppmm_thr", "250", "--ime",
+               "--prob_thr", "0.4", "--ppmm_thr", "250", "--ime", "--masks",
                "--winds", winds, "--wind-ext", ".npz",
                "--col_chunk", "8"])
     assert rc == 0
     outtext = capsys.readouterr().out
-    assert outtext.count("[SKIP]") >= 4
+    assert outtext.count("[SKIP]") >= 5
     assert "[STAGE]" not in outtext
 
 
