@@ -233,7 +233,10 @@ def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
             if cond_thresh and np.dtype(dtype) == np.float32:
                 cond = np.asarray(res.cond)[:width]
                 nvalid = np.asarray(res.n)[:width]
-                bad = np.nonzero((cond < cond_thresh) & (nvalid >= 2))[0]
+                # ~(cond >= thresh), NOT (cond < thresh): a NaN cond
+                # (f32 eigh on a rank-deficient covariance) is the MOST
+                # degenerate case and must also reroute
+                bad = np.nonzero(~(cond >= cond_thresh) & (nvalid >= 2))[0]
                 if bad.size:
                     if verbose:
                         print(f"[INFO] columns {c0 + bad} cond<"

@@ -189,10 +189,24 @@ def run_jobs(specs: dict, watch_dir: str, extra_params: dict | None = None,
 
     jobq = JobQueue(workers=workers)
     register_job_specs(jobq, specs, runner)
-    triggers = [(name, _re.compile(spec["trigger"]["regex"]),
-                 spec["trigger"].get("param", "path"))
-                for name, spec in specs.items() if spec.get("trigger")]
     extra = dict(extra_params or {})
+    triggers = []
+    for name, spec in specs.items():
+        if not spec.get("trigger"):
+            continue
+        param = spec["trigger"].get("param", "path")
+        # fail fast: a triggered job must be fully renderable from the
+        # event path + defaults + the shared extra params
+        supplied = set(spec.get("defaults", {})) | set(extra) | {param}
+        missing = [k for k in spec.get("required_sets", [])
+                   if k not in supplied]
+        if missing:
+            raise ValueError(
+                f"job {name!r} is event-triggered but lacks required "
+                f"params {missing}; pass them via extra_params / --set, "
+                f"or disable the job (--jobs)")
+        triggers.append((name, _re.compile(spec["trigger"]["regex"]),
+                         param))
 
     submitted = []
     cycles = 0
@@ -249,7 +263,7 @@ def main(argv=None):
           f"{len(jobq.results)} ok, {len(jobq.failures)} failed")
     for job, err in jobq.failures:
         print(f"[FAIL] {job.job_type}: {err}")
-    return 1 if jobq.failures and not jobq.results else 0
+    return 1 if jobq.failures else 0
 
 
 if __name__ == "__main__":

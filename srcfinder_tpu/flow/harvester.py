@@ -202,7 +202,7 @@ def main(argv=None):
     done, failed = harvest_date_range(start, end, args.data_basedir, conf)
     print(f"[INFO] downloaded {len(done)}, failed {len(failed)}, "
           f"range {start}..{end}")
-    return 1 if failed and not done else 0
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -89,7 +89,10 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
                 try:
                     masks_for_flightline(radiance, outdir,
                                          out_name=mskname)
-                except ValueError as e:      # no wavelength metadata
+                except (ValueError, RuntimeError) as e:
+                    # no wavelength metadata / no meter map-info for the
+                    # grow radii: masks are a skippable QC add-on — the
+                    # detection chain must still run
                     progress(f"[WARN] masks skipped: {e}")
                     products["masks"] = None
 

@@ -169,6 +169,12 @@ def main(argv=None):
         if args.device == "cpu":
             import jax
             dev = jax.devices("cpu")[0]
+        # idempotent resume (the reference pipelines' skip convention):
+        # existing products are kept unless --overwrite
+        if not args.overwrite and os.path.exists(
+                os.path.join(args.outpath, mask_output_name(f_txt))):
+            print("Skipping existing " + mask_output_name(f_txt))
+            continue
         outname = masks_for_flightline(
             os.path.join(args.inpath, f_txt + ".hdr"), args.outpath,
             saturationthreshold=args.saturationthreshold,
@@ -178,7 +184,7 @@ def main(argv=None):
             maskgrowradius=args.maskgrowradius,
             mingrowarea=args.mingrowarea, block_step=args.block_step,
             vis_thr=args.vis_thr, device=dev,
-            overwrite=args.overwrite or True, out_name=mask_output_name(f_txt))
+            out_name=mask_output_name(f_txt))
         if store_out is not None:
             for ext in (".hdr", ""):
                 src = os.path.join(args.outpath, outname + ext)

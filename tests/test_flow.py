@@ -556,17 +556,25 @@ def test_run_jobs_event_fanout(tmp_path):
     (d / "README.txt").write_text("x")
 
     ran = []
-    q, jobs = run_jobs(
-        specs, str(d),
-        extra_params={"MODEL": "multi_64", "WEIGHTS": "w.npz",
-                      "OUTDIR": "o", "WIND_DIR": "w", "OUTFILE": "out.csv"},
-        once=True, force=True, runner=ran.append)
+    extra = {"MODEL": "multi_64", "WEIGHTS": "w.npz", "OUTDIR": "o",
+             "WIND_DIR": "w", "OUTFILE": "out.csv", "LIBRARY": "lib.txt",
+             "START": "20200924", "END": "20200925"}
+    q, jobs = run_jobs(specs, str(d), extra_params=extra,
+                       once=True, force=True, runner=ran.append)
     names = sorted(j.job_type for j in jobs)
     assert names == ["compute-ime", "fcn-pred", "msf-flow"]
     assert not q.failures
     ime_argv = next(a for a in ran if a[0] == "srcfinder-ime")
     assert any("ang1_cmf_v2_img" in s for s in ime_argv)
     assert "1500" in ime_argv                  # job-definition default
+
+    # fail fast: a triggered job missing a required --set param refuses
+    # to start instead of failing per-event at render time
+    with pytest.raises(ValueError, match="WIND_DIR"):
+        run_jobs(specs, str(d),
+                 extra_params={k: v for k, v in extra.items()
+                               if k != "WIND_DIR"},
+                 once=True, force=True, runner=ran.append)
 
 
 def test_jobs_cli(tmp_path):
