@@ -87,8 +87,15 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
         else:
             with _stage("masks", timers, progress):
                 try:
+                    # host backend: the mask kernel is elementwise /
+                    # transfer-bound (see masks/sds.masks_for_cube)
+                    import jax
+                    try:
+                        cpu = jax.devices("cpu")[0]
+                    except RuntimeError:
+                        cpu = None
                     masks_for_flightline(radiance, outdir,
-                                         out_name=mskname)
+                                         out_name=mskname, device=cpu)
                 except (ValueError, RuntimeError) as e:
                     # no wavelength metadata / no meter map-info for the
                     # grow radii: masks are a skippable QC add-on — the
