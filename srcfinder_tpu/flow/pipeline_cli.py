@@ -47,7 +47,8 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
                    method: str = "auto", winds: str | None = None,
                    wind_ext: str = ".grib2", do_ime: bool = False,
                    do_masks: bool = False, quicklooks: bool = False,
-                   dtype="float32", col_chunk: int = 256, progress=print):
+                   dtype="float32", fcn_dtype: str = "float32",
+                   col_chunk: int = 256, progress=print):
     """Run all stages for one flightline; returns dict of products."""
     import numpy as np
     from ..core import envi as envi_io
@@ -114,9 +115,11 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
             img = envi_io.open_envi(cmff)
             band = np.asarray(img.open_memmap(interleave="bip")[..., -1],
                               dtype=np.float32)
+            import jax.numpy as jnp
+            fdt = jnp.bfloat16 if fcn_dtype == "bfloat16" else jnp.float32
             sal = np.asarray(fcn_saliency_image(band, variables,
                                                 model_name=model_name,
-                                                method=method))
+                                                method=method, dtype=fdt))
             meta = {"data ignore value": -9999}
             if "map info" in img.metadata:
                 meta["map info"] = img.metadata["map info"]
@@ -221,6 +224,11 @@ def build_parser():
                    "(enables the emission stage)")
     p.add_argument("--wind-ext", default=".grib2")
     p.add_argument("--ime", action="store_true")
+    p.add_argument("--fcn-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="FCN trunk dtype (bfloat16 = MXU-native, ~4x the "
+                        "f32 stage speed; saliency delta bounded by "
+                        "tests/test_detect.py at ~1e-4)")
     p.add_argument("--masks", action="store_true",
                    help="also generate the 4-band spectrometer QC mask\n                   (needs wavelength metadata in the radiance header)")
     p.add_argument("--quicklooks", action="store_true")
@@ -248,6 +256,7 @@ def main(argv=None):
                   ppmm_thr=args.ppmm_thr, method=args.method,
                   winds=args.winds, wind_ext=args.wind_ext,
                   do_ime=args.ime, do_masks=args.masks,
+                  fcn_dtype=args.fcn_dtype,
                   quicklooks=args.quicklooks,
                   dtype=args.dtype, col_chunk=args.col_chunk)
 
