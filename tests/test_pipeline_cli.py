@@ -101,6 +101,26 @@ def test_pipeline_end_to_end(flightline, tmp_path, capsys):
     assert "[STAGE]" not in outtext
 
 
+def test_pipeline_fcn_bf16(flightline, tmp_path):
+    """--fcn-dtype bfloat16 runs the saliency stage on the MXU-native
+    trunk; output must stay close to the f32 stage (the delta bound is
+    characterized in tests/test_detect.py)."""
+    from srcfinder_tpu.flow.pipeline_cli import main
+
+    rdn, libf, wf, _ = flightline
+    out32 = str(tmp_path / "o32")
+    outbf = str(tmp_path / "obf")
+    for o, extra in ((out32, []), (outbf, ["--fcn-dtype", "bfloat16"])):
+        rc = main([rdn, "--library", libf, "--weights", wf, "-o", o,
+                   "--prob_thr", "0.4", "--col_chunk", "8"] + extra)
+        assert rc == 0
+    name = "ang20200924t211102_cmf_v2y1_img_saliency"
+    s32 = np.asarray(envi_io.open_envi(os.path.join(out32, name)).load())
+    sbf = np.asarray(envi_io.open_envi(os.path.join(outbf, name)).load())
+    valid = s32 != -9999
+    assert np.abs(s32[valid] - sbf[valid]).max() < 2e-2
+
+
 def test_pipeline_watch_once(flightline, tmp_path):
     from srcfinder_tpu.flow.pipeline_cli import main
 
