@@ -156,5 +156,7 @@ def cnn_saliency_image(img, variables, model_name: str = "COVID_QC",
         sal = cnn_fast_saliency(model, variables, x, dim=dim)
     else:
         raise ValueError(f"unknown method {method}")
-    sal = jnp.where(jnp.asarray(img) == nodata, nodata, jnp.asarray(sal))
+    # stamp in f32: a bf16 trunk would round the -9999 sentinel to -9984
+    sal = jnp.where(jnp.asarray(img) == nodata, nodata,
+                    jnp.asarray(sal).astype(jnp.float32))
     return sal

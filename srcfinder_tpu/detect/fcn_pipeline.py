@@ -366,5 +366,8 @@ def fcn_saliency_image(img, variables, model_name: str = "multi_64",
     else:
         sal = fcn_shift_saliency(model, variables, x, scale=scale,
                                  batch=batch)
-    sal = jnp.where(jnp.asarray(img) == nodata, nodata, sal)
+    # stamp in f32: a bf16 trunk would round the -9999 sentinel to -9984,
+    # breaking every consumer's == nodata filter
+    sal = jnp.where(jnp.asarray(img) == nodata, nodata,
+                    sal.astype(jnp.float32))
     return sal

@@ -34,7 +34,7 @@ from .utils import DirWatcher
 
 __all__ = ["Job", "JobQueue", "watch_and_trigger", "IME_JOB_DEFAULTS",
            "load_job_specs", "render_command", "make_cli_handler",
-           "register_job_specs", "run_jobs"]
+           "register_job_specs", "run_jobs", "command_placeholders"]
 
 #: reference Batch parameters for the compute-ime job
 #: (deployment/compute-ime/invoke-ime:21-33)
@@ -138,6 +138,19 @@ def render_command(spec: dict, params: dict) -> list[str]:
     return [str(a).format(**merged) for a in spec["command"]]
 
 
+def command_placeholders(spec: dict) -> set:
+    """The ``{PARAM}`` field names a job's argv template consumes —
+    derived from the template itself so validation can never drift from
+    the command (the json's ``required_sets`` is documentation only)."""
+    import string
+    fields = set()
+    for arg in spec["command"]:
+        for _, name, _, _ in string.Formatter().parse(str(arg)):
+            if name:
+                fields.add(name)
+    return fields
+
+
 def make_cli_handler(spec: dict, runner: Callable | None = None):
     """Handler that executes a job spec's CLI command — the Batch
     container-run analog. ``runner`` (default subprocess.run with
@@ -175,7 +188,7 @@ def watch_and_trigger(watch_dir: str, job_type: str, jobq: JobQueue,
 def run_jobs(specs: dict, watch_dir: str, extra_params: dict | None = None,
              once: bool = True, workers: int = 0, runner=None,
              force: bool = False, interval: float = 5.0,
-             max_cycles: int | None = None):
+             max_cycles: int | None = None, explicit_jobs=None):
     """The local job scheduler: one event stream over ``watch_dir``,
     fanned out to every job whose trigger regex matches each new file
     (the S3-event -> per-Lambda-filter model of the reference's
@@ -183,30 +196,39 @@ def run_jobs(specs: dict, watch_dir: str, extra_params: dict | None = None,
     the non-trigger placeholders (e.g. LIBRARY, WEIGHTS, OUTDIR) shared
     by all jobs. ``once`` processes the current backlog and returns;
     otherwise polls every ``interval`` seconds (``max_cycles`` bounds
-    the loop for tests). Returns (queue, submitted jobs)."""
+    the loop for tests). Returns (queue, submitted jobs).
+
+    A trigger with ``"opt_in": true`` only fires when its job name is in
+    ``explicit_jobs`` (the CLI's --jobs list) — used for per-stage jobs
+    whose work a broader triggered job already covers (fcn-pred and
+    compute-ime duplicate flightline-pipeline stages when pipeline
+    outputs land in the watched directory)."""
     import re as _re
     import time as _time
 
     jobq = JobQueue(workers=workers)
     register_job_specs(jobq, specs, runner)
     extra = dict(extra_params or {})
+    explicit = set(explicit_jobs or ())
     triggers = []
     for name, spec in specs.items():
-        if not spec.get("trigger"):
+        trig = spec.get("trigger")
+        if not trig:
             continue
-        param = spec["trigger"].get("param", "path")
+        if trig.get("opt_in") and name not in explicit:
+            continue
+        param = trig.get("param", "path")
         # fail fast: a triggered job must be fully renderable from the
-        # event path + defaults + the shared extra params
+        # event path + defaults + the shared extra params; the needed
+        # placeholders come from the command template itself
         supplied = set(spec.get("defaults", {})) | set(extra) | {param}
-        missing = [k for k in spec.get("required_sets", [])
-                   if k not in supplied]
+        missing = sorted(command_placeholders(spec) - supplied)
         if missing:
             raise ValueError(
                 f"job {name!r} is event-triggered but lacks required "
                 f"params {missing}; pass them via extra_params / --set, "
                 f"or disable the job (--jobs)")
-        triggers.append((name, _re.compile(spec["trigger"]["regex"]),
-                         param))
+        triggers.append((name, _re.compile(trig["regex"]), param))
 
     submitted = []
     cycles = 0
@@ -256,9 +278,15 @@ def main(argv=None):
             p.error(f"unknown jobs: {sorted(unknown)}")
         specs = {k: v for k, v in specs.items() if k in keep}
     extra = dict(kv.split("=", 1) for kv in args.set)
-    jobq, jobs = run_jobs(specs, args.watch, extra_params=extra,
-                          once=args.once, workers=args.workers,
-                          force=args.force, interval=args.interval)
+    explicit = set(args.jobs.split(",")) if args.jobs else set()
+    try:
+        jobq, jobs = run_jobs(specs, args.watch, extra_params=extra,
+                              once=args.once, workers=args.workers,
+                              force=args.force, interval=args.interval,
+                              explicit_jobs=explicit)
+    except ValueError as e:
+        print(f"[ERROR] {e}")
+        return 2
     print(f"[INFO] submitted {len(jobs)} job(s); "
           f"{len(jobq.results)} ok, {len(jobq.failures)} failed")
     for job, err in jobq.failures:

@@ -66,7 +66,7 @@ def mask_output_name(f_txt: str) -> str:
 
 def masks_for_flightline(rdn_path: str, outpath: str, *,
                          saturationthreshold=None, saturationwindow=None,
-                         cld_threshold=0.9, cldbands=None,
+                         cld_threshold=15.0, cldbands=None,
                          dark_threshold=0.104, cldbfr="150m",
                          maskgrowradius="150m", mingrowarea=5,
                          block_step=500, vis_thr=9.0, device=None,
@@ -81,10 +81,11 @@ def masks_for_flightline(rdn_path: str, outpath: str, *,
     from .sds import MaskParams, masks_for_cube, get_radius_in_pixels
 
     rdn = envi_io.open_envi(rdn_path)
-    wavelengths = np.array(rdn.bands.centers)
-    if wavelengths.size == 0:
+    centers = rdn.bands.centers
+    if not centers:           # None or [] when the header has no list
         raise ValueError(f"no wavelength metadata in {rdn_path}; the "
                          "spectrometer masks need band centers")
+    wavelengths = np.array(centers, dtype=np.float64)
     nearest = lambda nm: int(np.argmin(np.abs(wavelengths - nm)))
     cld = (tuple(nearest(nm) for nm in (450., 670., 1250.))
            if cldbands is None else
@@ -131,11 +132,8 @@ def masks_for_flightline(rdn_path: str, outpath: str, *,
 
 
 def main(argv=None):
-    import numpy as np
-    from ..core import envi as envi_io
     from ..utils.config import default_compile_cache
     default_compile_cache()
-    from .sds import (MaskParams, masks_for_cube, get_radius_in_pixels)
 
     args = build_parser().parse_args(argv)
     print("Arguments:")
@@ -170,27 +168,30 @@ def main(argv=None):
             import jax
             dev = jax.devices("cpu")[0]
         # idempotent resume (the reference pipelines' skip convention):
-        # existing products are kept unless --overwrite
+        # existing products are regenerated only with --overwrite, but
+        # the store-out upload below still runs either way (a resumed
+        # Batch job must still deliver the product to the bucket)
+        outname = mask_output_name(f_txt)
         if not args.overwrite and os.path.exists(
-                os.path.join(args.outpath, mask_output_name(f_txt))):
-            print("Skipping existing " + mask_output_name(f_txt))
-            continue
-        outname = masks_for_flightline(
-            os.path.join(args.inpath, f_txt + ".hdr"), args.outpath,
-            saturationthreshold=args.saturationthreshold,
-            saturationwindow=args.saturationwindow,
-            cld_threshold=args.cldthreshold[0], cldbands=args.cldbands,
-            dark_threshold=args.dark_threshold, cldbfr=args.cldbfr,
-            maskgrowradius=args.maskgrowradius,
-            mingrowarea=args.mingrowarea, block_step=args.block_step,
-            vis_thr=args.vis_thr, device=dev,
-            out_name=mask_output_name(f_txt))
+                os.path.join(args.outpath, outname)):
+            print("Skipping existing " + outname)
+        else:
+            outname = masks_for_flightline(
+                os.path.join(args.inpath, f_txt + ".hdr"), args.outpath,
+                saturationthreshold=args.saturationthreshold,
+                saturationwindow=args.saturationwindow,
+                cld_threshold=args.cldthreshold[0], cldbands=args.cldbands,
+                dark_threshold=args.dark_threshold, cldbfr=args.cldbfr,
+                maskgrowradius=args.maskgrowradius,
+                mingrowarea=args.mingrowarea, block_step=args.block_step,
+                vis_thr=args.vis_thr, device=dev,
+                out_name=outname)
+            print("Generated " + outname)
         if store_out is not None:
             for ext in (".hdr", ""):
                 src = os.path.join(args.outpath, outname + ext)
                 if os.path.isfile(src):
                     store_out.put(src, outname + ext)
-        print("Generated " + outname)
     print("Completed all scenes")
     return 0
 

@@ -557,10 +557,13 @@ def test_run_jobs_event_fanout(tmp_path):
 
     ran = []
     extra = {"MODEL": "multi_64", "WEIGHTS": "w.npz", "OUTDIR": "o",
-             "WIND_DIR": "w", "OUTFILE": "out.csv", "LIBRARY": "lib.txt",
-             "START": "20200924", "END": "20200925"}
+             "WIND_DIR": "w", "OUTFILE": "out.csv", "LIBRARY": "lib.txt"}
+    # per-stage jobs are opt_in (flightline-pipeline covers their work);
+    # enabling them explicitly turns their triggers on
+    enabled = {"compute-ime", "fcn-pred", "msf-flow"}
     q, jobs = run_jobs(specs, str(d), extra_params=extra,
-                       once=True, force=True, runner=ran.append)
+                       once=True, force=True, runner=ran.append,
+                       explicit_jobs=enabled)
     names = sorted(j.job_type for j in jobs)
     assert names == ["compute-ime", "fcn-pred", "msf-flow"]
     assert not q.failures
@@ -568,13 +571,21 @@ def test_run_jobs_event_fanout(tmp_path):
     assert any("ang1_cmf_v2_img" in s for s in ime_argv)
     assert "1500" in ime_argv                  # job-definition default
 
-    # fail fast: a triggered job missing a required --set param refuses
-    # to start instead of failing per-event at render time
+    # without explicit enabling, only default triggers fire (none of the
+    # dropped files is a radiance, so nothing runs)
+    q2, jobs2 = run_jobs(specs, str(d), extra_params=extra,
+                         once=True, force=True, runner=ran.append)
+    assert jobs2 == []
+
+    # fail fast: a triggered job missing a --set param its command
+    # template needs (derived from the template, not a hand list)
+    # refuses to start instead of failing per-event at render time
     with pytest.raises(ValueError, match="WIND_DIR"):
         run_jobs(specs, str(d),
                  extra_params={k: v for k, v in extra.items()
                                if k != "WIND_DIR"},
-                 once=True, force=True, runner=ran.append)
+                 once=True, force=True, runner=ran.append,
+                 explicit_jobs=enabled)
 
 
 def test_jobs_cli(tmp_path):
