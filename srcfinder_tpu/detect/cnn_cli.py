@@ -28,7 +28,7 @@ def build_parser():
                    help=".pt (torch) or .npz (flax) checkpoint path")
     p.add_argument("--band", "-n", type=int, default=1,
                    help="1-based band to read")
-    p.add_argument("--batch", "-b", type=int, default=1024,
+    p.add_argument("--batch", "-b", type=int, default=4096,
                    help="windows per device batch (1024 measured fastest "
                         "on v5e)")
     p.add_argument("--dim", type=int, default=256, help="window size")
