@@ -271,14 +271,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     specs = load_job_specs(args.specs)
-    if args.jobs:
-        keep = set(args.jobs.split(","))
-        unknown = keep - set(specs)
+    explicit = set(args.jobs.split(",")) if args.jobs else set()
+    if explicit:
+        unknown = explicit - set(specs)
         if unknown:
             p.error(f"unknown jobs: {sorted(unknown)}")
-        specs = {k: v for k, v in specs.items() if k in keep}
+        specs = {k: v for k, v in specs.items() if k in explicit}
     extra = dict(kv.split("=", 1) for kv in args.set)
-    explicit = set(args.jobs.split(",")) if args.jobs else set()
     try:
         jobq, jobs = run_jobs(specs, args.watch, extra_params=extra,
                               once=args.once, workers=args.workers,
