@@ -1159,6 +1159,75 @@ def test_grib2_image_packing_roundtrip(tmp_path, rng, codec):
     assert back.valid_date == g.valid_date
 
 
+def test_grib2_image_packing_with_bitmap(tmp_path, rng):
+    """Template 5.40 + a bitmap (real RTMA carries bitmaps at grid
+    edges): the codestream encodes only the present points; absent
+    points must come back NaN."""
+    import io
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    g = _tenths_grid(rng, ny=6, nx=8)
+    ny, nx = g.u.shape
+    # mask out the last row (like an off-CONUS edge)
+    present = np.ones(ny * nx, bool)
+    present[-nx:] = False
+
+    def enc_field(number, level, vals):
+        y = np.asarray(vals, np.float64).ravel()[present]
+        scaled = np.round(y * 10).astype(np.int64)
+        R = float(scaled.min())
+        x = (scaled - int(R)).astype(np.uint16)
+        im = Image.fromarray(x[None, :])          # 1 x nvals image
+        buf = io.BytesIO()
+        im.save(buf, format="JPEG2000", irreversible=False, no_jp2=True)
+        payload = buf.getvalue()
+        sec4 = bytearray(34)
+        sec4[0:4] = struct.pack(">I", 34); sec4[4] = 4
+        sec4[7:9] = struct.pack(">H", 0); sec4[9] = 2; sec4[10] = number
+        sec4[22] = 103; sec4[24:28] = struct.pack(">I", level)
+        sec5 = bytearray(23)
+        sec5[0:4] = struct.pack(">I", 23); sec5[4] = 5
+        sec5[5:9] = struct.pack(">I", int(present.sum()))
+        sec5[9:11] = struct.pack(">H", 40)
+        sec5[11:15] = struct.pack(">f", R)
+        sec5[15:17] = _sm_bytes(0, 2); sec5[17:19] = _sm_bytes(1, 2)
+        sec5[19] = 16; sec5[21] = 0; sec5[22] = 255
+        bits = np.packbits(present.astype(np.uint8)).tobytes()
+        sec6 = struct.pack(">IBB", 6 + len(bits), 6, 0) + bits
+        sec7 = struct.pack(">IB", 5 + len(payload), 7) + payload
+        return bytes(sec4) + bytes(sec5) + sec6 + sec7
+
+    d = g.valid_date
+    sec1 = (struct.pack(">IB", 21, 1) + bytes(7)
+            + struct.pack(">H5B", d.year, d.month, d.day, d.hour,
+                          d.minute, d.second) + bytes(2))
+    sec3 = bytearray(72)
+    sec3[0:4] = struct.pack(">I", 72); sec3[4] = 3
+    sec3[12:14] = struct.pack(">H", 0)
+    sec3[30:34] = struct.pack(">I", nx); sec3[34:38] = struct.pack(">I", ny)
+    sec3[46:50] = _sm_bytes(int(g.lat[0, 0] * 1e6), 4)
+    sec3[50:54] = _sm_bytes(int(g.lon[0, 0] * 1e6), 4)
+    sec3[55:59] = _sm_bytes(int(g.lat[-1, 0] * 1e6), 4)
+    sec3[59:63] = _sm_bytes(int(g.lon[0, -1] * 1e6), 4)
+    payload = sec1 + bytes(sec3)
+    payload += enc_field(2, 10, g.u)
+    payload += enc_field(3, 10, g.v)
+    payload += enc_field(22, 10, g.gust)
+    payload += b"7777"
+    msg = (b"GRIB" + bytes([0, 0, 0, 2])
+           + struct.pack(">Q", 16 + len(payload)) + payload)
+    p = str(tmp_path / "rtma2p5_ru.t2100z.2dvaranl_ndfd.grib2")
+    with open(p, "wb") as f:
+        f.write(msg)
+
+    back = flow.read_wind_grid(p)
+    np.testing.assert_allclose(back.u[:-1], g.u[:-1], atol=1e-9)
+    assert np.isnan(back.u[-1]).all()            # bitmapped-out row
+    assert np.isnan(back.gust[-1]).all()
+    np.testing.assert_allclose(back.v[:-1], g.v[:-1], atol=1e-9)
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_grib2_randomized_roundtrip(tmp_path, seed):
     """Seeded randomized sweep across packings (5.2 / 5.3 order 1-2 /
