@@ -259,6 +259,8 @@ class MFMultimodalResult(NamedTuple):
     labels: jax.Array        # (L, C) int32 cluster ids
     alpha_pix: jax.Array     # (L, C) int32 per-pixel chosen alpha index
     rejected: jax.Array      # (C, K) bool rejected clusters
+    cond: jax.Array          # (C, K) per-mode correlation condition number
+    counts: jax.Array        # (C, K) per-mode valid-pixel counts
 
 
 def matched_filter_columns_multimodal(x, m, abscf, alphas, bgmodes: int,
@@ -325,6 +327,7 @@ def matched_filter_columns_multimodal(x, m, abscf, alphas, bgmodes: int,
     mf = jnp.zeros((L, C), x.dtype)
     alpha_pix = jnp.full((L, C), -1, jnp.int32)
     valid = jnp.zeros((L, C), bool)
+    conds = []
     for k in range(bgmodes):
         mask_k = mbool & (labels == k)
         res_k = matched_filter_columns(x, mask_k.astype(x.dtype), abscf,
@@ -335,9 +338,11 @@ def matched_filter_columns_multimodal(x, m, abscf, alphas, bgmodes: int,
         mf = jnp.where(use_k, res_k.mf, mf)
         alpha_pix = jnp.where(use_k, res_k.alpha_index[None, :], alpha_pix)
         valid = valid | use_k
+        conds.append(res_k.cond)
 
     return MFMultimodalResult(mf=mf, valid=valid, labels=labels,
-                              alpha_pix=alpha_pix, rejected=rej)
+                              alpha_pix=alpha_pix, rejected=rej,
+                              cond=jnp.stack(conds, axis=1), counts=cnt)
 
 
 def mf_column_stats(mf_ppmm, m, nodata=-9999.0):

@@ -57,7 +57,7 @@ def robust_mf_image(infile: str, library: str, outfile: str,
                     rgb_bands=(60, 42, 24), save_bgmeta: bool = False,
                     col_chunk: int = 256, dtype=np.float32,
                     use_pallas: bool = False, verbose: bool = False,
-                    cond_thresh: float = 1e-6):
+                    cond_thresh: float = 1e-6, preloaded=None):
     """Run the columnwise robust MF over a full flightline.
 
     Returns a dict with output paths and the column-stats arrays.
@@ -70,9 +70,17 @@ def robust_mf_image(infile: str, library: str, outfile: str,
     covariance has ``lam_min/lam_max`` below this (the characterized f32
     failure regime — near-singular correlations, tests/test_cmf_f32.py)
     are recomputed in float64 on the CPU and overwritten, so the output
-    matches the reference's f64 LAPACK everywhere. 0 disables. Unimodal
-    path only (multimodal columns mix modes; run ``dtype=float64`` for
-    ill-conditioned multimodal scenes).
+    matches the reference's f64 LAPACK everywhere. 0 disables. In the
+    multimodal path (``bgmodes>1``) the gate is per (column, mode): a
+    column with ANY ill-conditioned in-use mode is rerouted through the
+    full f64 multimodal path (PCA + k-means + fits) on the CPU.
+
+    ``preloaded``: optional ``(active_slab, rgb_slab)`` pair already in
+    RAM — ``active_slab`` (lines, samples, active_bands) float and
+    ``rgb_slab`` (lines, samples, 3) — produced by the pipeline's fused
+    single-pass radiance read; skips every disk read of the cube (the
+    reference property of touching the radiance once, robust_mf.py:
+    297-298).
     """
     import contextlib
     ctx = (jax.enable_x64(True) if np.dtype(dtype) == np.float64
@@ -84,7 +92,7 @@ def robust_mf_image(infile: str, library: str, outfile: str,
             reflectance=reflectance, rgb_bands=rgb_bands,
             save_bgmeta=save_bgmeta, col_chunk=col_chunk, dtype=dtype,
             use_pallas=use_pallas, verbose=verbose,
-            cond_thresh=cond_thresh)
+            cond_thresh=cond_thresh, preloaded=preloaded)
 
 
 def _f64_cpu_columns(xblk, cols, abscf, alphas, model, reflectance):
@@ -110,9 +118,39 @@ def _f64_cpu_columns(xblk, cols, abscf, alphas, model, reflectance):
     return mf, aidx
 
 
+def _f64_cpu_columns_multimodal(xblk, cols, abscf, alphas, model,
+                                reflectance, bgmodes, pcadim, reject,
+                                regfull):
+    """Recompute selected columns through the FULL multimodal path in
+    float64 on the CPU backend (PCA + k-means + per-mode fits — the f64
+    oracle for the flagged columns, not an f32-label hybrid). Column
+    counts are padded to power-of-2 buckets to bound compiled shapes."""
+    cpu = jax.devices("cpu")[0]
+    sub = np.asarray(xblk[:, cols, :], np.float64)        # (L, n, B)
+    n = sub.shape[1]
+    bucket = 1 << max(0, (n - 1)).bit_length()
+    if bucket > n:
+        sub = np.concatenate(
+            [sub, np.zeros((sub.shape[0], bucket - n, sub.shape[2]))], axis=1)
+    with jax.enable_x64(True), jax.default_device(cpu):
+        xj = jnp.asarray(sub)
+        mj = mfmod.valid_mask(xj).astype(xj.dtype)
+        res = mfmod.matched_filter_columns_multimodal(
+            xj, mj, jnp.asarray(abscf, jnp.float64),
+            jnp.asarray(alphas, jnp.float64), bgmodes=bgmodes,
+            pcadim=pcadim, reject=reject, regfull=regfull, model=model,
+            reflectance=reflectance)
+        mf = np.asarray(res.mf)[:, :n]
+        valid = np.asarray(res.valid)[:, :n]
+        labels = np.asarray(res.labels)[:, :n]
+        alpha_pix = np.asarray(res.alpha_pix)[:, :n]
+    return mf, valid, labels, alpha_pix
+
+
 def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
                      reject, regfull, reflectance, rgb_bands, save_bgmeta,
-                     col_chunk, dtype, use_pallas, verbose, cond_thresh):
+                     col_chunk, dtype, use_pallas, verbose, cond_thresh,
+                     preloaded=None):
     img = envi_io.open_envi(infile)
     mm = img.open_memmap(interleave="source")
     if img.interleave != "bil":
@@ -120,6 +158,9 @@ def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
         bip = img.open_memmap(interleave="bip")
         mm = bip.transpose(0, 2, 1)
     nrows, nbands, ncols = mm.shape
+    pre_active = pre_rgb = None
+    if preloaded is not None:
+        pre_active, pre_rgb = preloaded
 
     active = active_range_for_library(library, reflectance)
     abscf = load_library(library, active)
@@ -189,8 +230,12 @@ def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
         c0 = bi * col_chunk
         c1 = min(ncols, c0 + col_chunk)
         width = c1 - c0
-        # (lines, bands, chunk) -> (lines, chunk, B)
-        if HAVE_NATIVE and np.dtype(dtype) == np.float32:
+        if pre_active is not None:
+            # fused single-pass pipeline: the active-band slab is already
+            # in RAM as (lines, samples, active_bands) — no disk read
+            xblk = np.asarray(pre_active[:, c0:c1, :], dtype)
+        elif HAVE_NATIVE and np.dtype(dtype) == np.float32:
+            # (lines, bands, chunk) -> (lines, chunk, B)
             xblk = bil_window_to_lcb(mm, active[0] - 1, active[1], c0, c1)
         else:
             xblk = np.ascontiguousarray(
@@ -215,9 +260,38 @@ def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
                 reflectance=reflectance)
             mf = np.asarray(res.mf) * ppm
             valid = np.asarray(res.valid)
+            labels = np.asarray(res.labels)         # writable copies
+            alpha_pix = np.asarray(res.alpha_pix)
+            # f64-CPU fallback for the characterized f32 failure regime,
+            # per mode: a column whose ANY in-use mode is ill-conditioned
+            # is rerouted through the full f64 multimodal path
+            if cond_thresh and np.dtype(dtype) == np.float32:
+                cond = np.asarray(res.cond)[:width]              # (w, K)
+                cnts = np.asarray(res.counts)[:width]            # (w, K)
+                rejm = np.asarray(res.rejected)[:width]          # (w, K)
+                # ~(cond >= thresh), NOT (cond < thresh): a NaN cond
+                # (f32 eigh on a rank-deficient covariance) must reroute
+                flagged = (~(cond >= cond_thresh)) & (cnts >= 2) & ~rejm
+                bad = np.nonzero(flagged.any(axis=1))[0]
+                if bad.size:
+                    if verbose:
+                        print(f"[INFO] columns {c0 + bad} have modes with "
+                              f"cond<{cond_thresh:g}: f64 CPU multimodal "
+                              f"recompute")
+                    mf64, v64, l64, a64 = _f64_cpu_columns_multimodal(
+                        np.asarray(xj), bad, abscf, alphas, model,
+                        reflectance, bgmodes, pcadim, reject, regfull)
+                    mf = np.array(mf)
+                    valid = np.array(valid)
+                    labels = np.array(labels)
+                    alpha_pix = np.array(alpha_pix)
+                    mf[:, bad] = mf64 * ppm
+                    valid[:, bad] = v64
+                    labels[:, bad] = l64
+                    alpha_pix[:, bad] = a64
             if save_bgmeta:
-                bg_mm[:, c0:c1, 0] = np.asarray(res.labels)[:, :width]
-                bg_mm[:, c0:c1, 1] = np.asarray(res.alpha_pix)[:, :width]
+                bg_mm[:, c0:c1, 0] = labels[:, :width]
+                bg_mm[:, c0:c1, 1] = alpha_pix[:, :width]
         else:
             moments = None
             if use_pallas:
@@ -254,8 +328,11 @@ def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
         valid = valid[:, :width]
         out_mm[:, c0:c1, -1] = np.where(valid, mf, nodata)
         if len(rgb_bands) == 3:
-            for oi, bi in enumerate(rgb_bands):
-                out_mm[:, c0:c1, oi] = mm[:, bi, c0:c1]
+            if pre_rgb is not None:
+                out_mm[:, c0:c1, :3] = pre_rgb[:, c0:c1, :]
+            else:
+                for oi, bi in enumerate(rgb_bands):
+                    out_mm[:, c0:c1, oi] = mm[:, bi, c0:c1]
 
         nblk = valid.sum(axis=0)
         with np.errstate(invalid="ignore"):

@@ -32,6 +32,10 @@ def build_parser():
                    help="windows per device batch (measured on v5e: "
                         "206/176/163 s full scene at 1024/2048/4096; "
                         "8192 exceeds HBM)")
+    p.add_argument("--superbatch", type=int, default=64,
+                   help="batches scanned per device dispatch (fori_loop "
+                        "inside one executable, paying the dispatch "
+                        "latency once per scan); 1 = per-batch dispatch")
     p.add_argument("--dim", type=int, default=256, help="window size")
     p.add_argument("--method", default="exact", choices=["exact", "fast"],
                    help="exact per-window forwards, or amortized dense")
@@ -120,7 +124,8 @@ def main(argv=None):
     def fn(band, variables):
         return cnn_saliency_image(band, variables, model_name=args.model,
                                   dim=args.dim, batch=args.batch,
-                                  method=args.method, dtype=dtype)
+                                  method=args.method, dtype=dtype,
+                                  superbatch=args.superbatch)
 
     return _run(args, fn)
 

@@ -50,14 +50,44 @@ def _cnn_window_chunk(model: GoogLeNet, variables, padded, rows, cols,
 
     wins = jax.vmap(one)(rows, cols)[..., None]        # (batch, dim, dim, 1)
     logits = model.apply(variables, wins, train=False)
-    return jax.nn.softmax(logits, axis=-1)[:, 1]
+    return jax.nn.softmax(logits, axis=-1)[:, 1].astype(jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("model", "dim", "batch", "iters"))
+def _cnn_window_scan(model: GoogLeNet, variables, padded, rows, cols,
+                     dim: int, batch: int, iters: int):
+    """``iters`` window batches inside ONE jitted executable: a
+    ``fori_loop`` gathers each batch with dynamic_slice and runs the
+    batched forward, so the host round-trip (the axon-tunnel dispatch
+    latency that dominated the per-batch host loop — VERDICT r2 item 3)
+    is paid once per scan, not once per batch."""
+    def body(i, out):
+        r = jax.lax.dynamic_slice(rows, (i * batch,), (batch,))
+        c = jax.lax.dynamic_slice(cols, (i * batch,), (batch,))
+        wins = jax.vmap(
+            lambda rr, cc: jax.lax.dynamic_slice(padded, (rr, cc),
+                                                 (dim, dim)))(r, c)[..., None]
+        logits = model.apply(variables, wins, train=False)
+        pr = jax.nn.softmax(logits, axis=-1)[:, 1].astype(jnp.float32)
+        return jax.lax.dynamic_update_slice(out, pr, (i * batch,))
+
+    out = jnp.zeros((iters * batch,), jnp.float32)
+    return jax.lax.fori_loop(0, iters, body, out)
 
 
 def cnn_window_saliency(model: GoogLeNet, variables, img, dim: int = 256,
-                        batch: int = 512, progress=None):
+                        batch: int = 512, progress=None,
+                        superbatch: int = 64):
     """Exact dense sliding-window class-1 probability map.
 
     img: (H, W) preprocessed. Returns (H, W).
+
+    ``superbatch`` window batches are scanned inside one device dispatch
+    (``_cnn_window_scan``); ``superbatch=1`` falls back to the
+    one-dispatch-per-batch host loop. The window index list is padded to
+    a whole number of batches (window (0, 0) recomputed; results
+    discarded) so the scan executable's shape is scene-independent.
     """
     h, w = img.shape
     padded = reference_pad(img, dim)
@@ -65,14 +95,31 @@ def cnn_window_saliency(model: GoogLeNet, variables, img, dim: int = 256,
     idx = np.arange(n)
     rows, cols = idx // w, idx % w
     out = np.empty(n, dtype=np.float32)
-    for i in range(0, n, batch):
-        r = jnp.asarray(rows[i:i + batch])
-        c = jnp.asarray(cols[i:i + batch])
-        take = r.shape[0]
-        if take < batch:
-            r = jnp.concatenate([r, jnp.zeros(batch - take, r.dtype)])
-            c = jnp.concatenate([c, jnp.zeros(batch - take, c.dtype)])
-        pr = _cnn_window_chunk(model, variables, padded, r, c, dim, batch)
+
+    if superbatch <= 1:
+        for i in range(0, n, batch):
+            r = jnp.asarray(rows[i:i + batch])
+            c = jnp.asarray(cols[i:i + batch])
+            take = r.shape[0]
+            if take < batch:
+                r = jnp.concatenate([r, jnp.zeros(batch - take, r.dtype)])
+                c = jnp.concatenate([c, jnp.zeros(batch - take, c.dtype)])
+            pr = _cnn_window_chunk(model, variables, padded, r, c, dim,
+                                   batch)
+            out[i:i + take] = np.asarray(pr)[:take]
+            if progress is not None:
+                progress(i + take, n)
+        return out.reshape(h, w)
+
+    stride = batch * superbatch
+    for i in range(0, n, stride):
+        take = min(stride, n - i)
+        r = np.zeros(stride, np.int32)
+        c = np.zeros(stride, np.int32)
+        r[:take] = rows[i:i + take]
+        c[:take] = cols[i:i + take]
+        pr = _cnn_window_scan(model, variables, padded, jnp.asarray(r),
+                              jnp.asarray(c), dim, batch, superbatch)
         out[i:i + take] = np.asarray(pr)[:take]
         if progress is not None:
             progress(i + take, n)
@@ -141,7 +188,8 @@ def cnn_fast_saliency(model: GoogLeNet, variables, img, dim: int = 256):
 def cnn_saliency_image(img, variables, model_name: str = "COVID_QC",
                        dim: int = 256, batch: int = 512, nodata=-9999.0,
                        model: GoogLeNet | None = None, method: str = "exact",
-                       dtype=jnp.float32, progress=None):
+                       dtype=jnp.float32, progress=None,
+                       superbatch: int = 64):
     """Raw CH4 band -> dense CNN saliency with nodata re-stamped
     (reference: cnn_pred_pipeline.py:170-189)."""
     from .preprocess import preprocess_ch4, norm_for_model
@@ -151,7 +199,7 @@ def cnn_saliency_image(img, variables, model_name: str = "COVID_QC",
     x = preprocess_ch4(jnp.asarray(img, dtype), mean, std)
     if method == "exact":
         sal = cnn_window_saliency(model, variables, x, dim=dim, batch=batch,
-                                  progress=progress)
+                                  progress=progress, superbatch=superbatch)
     elif method == "fast":
         sal = cnn_fast_saliency(model, variables, x, dim=dim)
     else:

@@ -232,8 +232,16 @@ def run_jobs(specs: dict, watch_dir: str, extra_params: dict | None = None,
 
     submitted = []
     cycles = 0
+    # In a fresh watch directory (no .last_run_time cursor yet) DirWatcher
+    # initializes its cursor to *now* (reference dir_watcher.py:38-52), so
+    # the pre-existing backlog would never be seen — contradicting the
+    # "--once: process the current backlog" contract. Treat the first
+    # cycle over a fresh directory as forced.
+    import os as _os
+    fresh = not _os.path.isfile(_os.path.join(watch_dir, ".last_run_time"))
     while True:
-        watcher = DirWatcher(watch_dir, force=force and cycles == 0)
+        watcher = DirWatcher(watch_dir,
+                             force=(force or fresh) and cycles == 0)
         for path in watcher.whats_new_local():
             for name, rx, param in triggers:
                 if rx.search(path):

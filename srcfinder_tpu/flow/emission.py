@@ -65,7 +65,13 @@ def compute_emission_rate(plume, wind_type, fill=None, default_fill="NA",
                           wind_alt=10, wind_ntimes=3, wind_npoints=10,
                           min_aspect_ratio=0.02, max_aspect_ratio=1.0):
     """Emission rate + uncertainty + aspect-ratio validity flag
-    (reference: running_windspeed.py:35-119)."""
+    (reference: running_windspeed.py:35-119).
+
+    Recorded deviation (PARITY.md): ``_missing`` treats NaN, empty-string
+    and unparsable values as missing (the record gets the fill value);
+    the reference with fill=None would raise on ``float('')`` or
+    propagate NaN into the emission rate.
+    """
     if fill is not None:
         fill = str(fill)
     mean_wind_key = get_mean_wind_key(wind_type, wind_alt, wind_npoints,

@@ -16,7 +16,9 @@ for each merge distance d in MERGEDISTS:
 
 The per-plume AvgIMEdivFetch20/StdIMEdivFetch20 columns consumed by
 :func:`srcfinder_tpu.flow.emission.compute_emission_rate` are the
-mean/std of IME/fetch across the merge distances.
+mean/std of IME/fetch at the 20 m merge distance (the "20" suffix in
+the reference's column names denotes that distance; the nearest
+available distance is used when 20 m is not in MERGEDISTS).
 """
 
 from __future__ import annotations
@@ -117,9 +119,14 @@ def compute_ime_for_cmf(cmf_path, out_csv=None, **params):
     if out_csv:
         df.to_csv(out_csv, index=False)
     if len(df):
+        # the "20" suffix names the 20 m merge distance; use the nearest
+        # available distance when 20 m is not in MERGEDISTS
+        md = df.mergedist_m.to_numpy(float)
+        at20 = df[md == md[np.argmin(np.abs(md - 20.0))]]
         summary = dict(
-            **{"AvgIMEdivFetch20 (kg/m)": float(df.ime_div_fetch.mean()),
-               "StdIMEdivFetch20 (kg/m)": float(df.ime_div_fetch.std(ddof=0))})
+            **{"AvgIMEdivFetch20 (kg/m)": float(at20.ime_div_fetch.mean()),
+               "StdIMEdivFetch20 (kg/m)":
+                   float(at20.ime_div_fetch.std(ddof=0))})
     else:
         summary = {"AvgIMEdivFetch20 (kg/m)": np.nan,
                    "StdIMEdivFetch20 (kg/m)": np.nan}
@@ -130,12 +137,13 @@ def merge_ime_into_plumelist(plume_df, ime_df, radius_m=150.0):
     """Attach the emission-stage IME columns to a plume candidate list.
 
     For each candidate, IME rows whose plume centroid lies within
-    ``radius_m`` (haversine) are matched;
-    ``AvgIMEdivFetch20 (kg/m)`` / ``StdIMEdivFetch20 (kg/m)`` are the
-    mean/std of IME/fetch over the matched rows (across merge distances),
-    and ``Aspect ratio20`` is the matched aspect at the 20 m merge
-    distance (nearest available distance otherwise) — the three inputs
-    ``compute_emission_rate`` consumes (running_windspeed.py:35-119).
+    ``radius_m`` (haversine) are matched; ``AvgIMEdivFetch20 (kg/m)`` /
+    ``StdIMEdivFetch20 (kg/m)`` are the mean/std of IME/fetch over the
+    matched rows *at the 20 m merge distance* (nearest available
+    distance otherwise — the reference's "20" column suffix denotes that
+    merge distance), and ``Aspect ratio20`` is the matched aspect at the
+    same distance — the three inputs ``compute_emission_rate`` consumes
+    (running_windspeed.py:35-119).
     Candidates with no IME match keep NaN (emission stays NA).
 
     Returns the plume DataFrame with the columns added in place.
@@ -168,14 +176,16 @@ def merge_ime_into_plumelist(plume_df, ime_df, radius_m=150.0):
         near = d <= radius_m
         if not near.any():
             continue
-        vals = idf[near]
+        # all stats at the 20 m merge distance (nearest distance otherwise)
+        cand = np.nonzero(near)[0]
+        md20 = imd[cand[np.argmin(np.abs(imd[cand] - 20.0))]]
+        at20 = cand[imd[cand] == md20]
+        vals = idf[at20]
         vals = vals[np.isfinite(vals)]
         if vals.size:
             plume_df.loc[i, avg_key] = float(vals.mean())
             plume_df.loc[i, std_key] = float(vals.std(ddof=0))
-        # aspect at the 20 m merge distance (nearest distance otherwise)
-        cand = np.nonzero(near)[0]
-        best = cand[np.argmin(np.abs(imd[cand] - 20.0))]
+        best = at20[np.argmin(d[at20])]
         if np.isfinite(iasp[best]):
             plume_df.loc[i, ar_key] = float(iasp[best])
     return plume_df

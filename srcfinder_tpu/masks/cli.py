@@ -64,23 +64,18 @@ def mask_output_name(f_txt: str) -> str:
     return f_txt + "_msk"
 
 
-def masks_for_flightline(rdn_path: str, outpath: str, *,
-                         saturationthreshold=None, saturationwindow=None,
-                         cld_threshold=15.0, cldbands=None,
-                         dark_threshold=0.104, cldbfr="150m",
-                         maskgrowradius="150m", mingrowarea=5,
-                         block_step=500, vis_thr=9.0, device=None,
-                         overwrite=True, out_name=None):
-    """Generate the 4-band QC mask for one radiance flightline (the masks
-    CLI's per-scene core, reusable by the one-command pipeline). Returns
-    the output image basename. Band indices are resolved from the
-    header's wavelength list (reference hardcodes the AVIRIS-NG band
-    numbers, masks_sds.py:49-59)."""
+def flightline_mask_config(rdn, rdn_path="", *, saturationthreshold=None,
+                           saturationwindow=None, cld_threshold=15.0,
+                           cldbands=None, dark_threshold=0.104,
+                           cldbfr="150m", maskgrowradius="150m",
+                           vis_thr=9.0):
+    """Resolve the per-flightline MaskParams + pixel radii from the ENVI
+    header (band indices from the wavelength list; the reference
+    hardcodes AVIRIS-NG band numbers, masks_sds.py:49-59). Shared by the
+    standalone CLI and the fused single-pass pipeline stage."""
     import numpy as np
-    from ..core import envi as envi_io
-    from .sds import MaskParams, masks_for_cube, get_radius_in_pixels
+    from .sds import MaskParams, get_radius_in_pixels
 
-    rdn = envi_io.open_envi(rdn_path)
     centers = rdn.bands.centers
     if not centers:           # None or [] when the header has no list
         raise ValueError(f"no wavelength metadata in {rdn_path}; the "
@@ -104,13 +99,56 @@ def masks_for_flightline(rdn_path: str, outpath: str, *,
     grow_px = (get_radius_in_pixels(maskgrowradius, rdn.metadata)
                if maskgrowradius else None)
     cld_px = get_radius_in_pixels(cldbfr, rdn.metadata) if cldbfr else 0.0
+    return params, grow_px, cld_px, wavelengths
+
+
+def masks_for_flightline(rdn_path: str, outpath: str, *,
+                         saturationthreshold=None, saturationwindow=None,
+                         cld_threshold=15.0, cldbands=None,
+                         dark_threshold=0.104, cldbfr="150m",
+                         maskgrowradius="150m", mingrowarea=5,
+                         block_step=500, vis_thr=9.0, device=None,
+                         overwrite=True, out_name=None, tap=None):
+    """Generate the 4-band QC mask for one radiance flightline (the masks
+    CLI's per-scene core, reusable by the one-command pipeline). Returns
+    the output image basename. Band indices are resolved from the
+    header's wavelength list (reference hardcodes the AVIRIS-NG band
+    numbers, masks_sds.py:49-59).
+
+    ``tap(r0, r1, block)``: optional observer of every streamed line
+    block (materialized float32, all bands) — lets the fused pipeline
+    capture the CMF's active-band slab during THIS read so the radiance
+    cube is touched once end-to-end."""
+    import numpy as np
+    from ..core import envi as envi_io
+    from .sds import MaskParams, masks_for_cube, get_radius_in_pixels
+
+    rdn = envi_io.open_envi(rdn_path)
+    params, grow_px, cld_px, wavelengths = flightline_mask_config(
+        rdn, rdn_path, saturationthreshold=saturationthreshold,
+        saturationwindow=saturationwindow, cld_threshold=cld_threshold,
+        cldbands=cldbands, dark_threshold=dark_threshold, cldbfr=cldbfr,
+        maskgrowradius=maskgrowradius, vis_thr=vis_thr)
     bip = rdn.open_memmap(interleave="bip")
+    # nodata collected during the streaming read (no separate full-band
+    # pre-read of the cube); overlap re-reads just rewrite the same rows
+    nod = np.zeros((rdn.nrows, rdn.ncols), bool)
+
+    def read_block(r0, r1):
+        if tap is not None:
+            blk = np.asarray(bip[r0:r1], np.float32)
+            tap(r0, r1, blk)
+        else:
+            blk = bip[r0:r1]
+        nod[r0:r1] = np.asarray(blk[..., 0]) == -9999
+        return blk
+
     out = masks_for_cube(
-        lambda r0, r1: bip[r0:r1], rdn.nrows, rdn.ncols, wavelengths,
+        read_block, rdn.nrows, rdn.ncols, wavelengths,
         params=params, maskgrowradius_px=grow_px,
         mingrowarea=mingrowarea, cldbfr_px=cld_px,
         block_step=block_step,
-        nodata_row0=np.asarray(bip[..., 0]) == -9999, device=device)
+        nodata_row0=lambda: nod, device=device)
 
     meta = {
         "description": "Flare and cloud mask (srcfinder_tpu).",

@@ -177,9 +177,19 @@ def masks_for_cube(read_block, nrows: int, ncols: int, wavelengths,
     the accelerator sits behind a slow interconnect the host->device
     transfer dominates; ``device=jax.devices("cpu")[0]`` keeps the same
     jitted kernel on the host backend (identical outputs, no transfer).
+
+    Disk reads are double-buffered (core.prefetch.BlockPrefetcher): the
+    next line block is read + band-compacted in a background thread
+    while the current block's mask kernel runs — the reference reads
+    synchronously inside the loop (masks_sds.py:289-296).
+
+    ``nodata_row0`` may be a callable evaluated AFTER the streaming loop
+    — lets the caller collect the nodata mask during its own
+    ``read_block`` instead of a separate full-band pre-read.
     """
     import contextlib
     import jax as _jax
+    from ..core.prefetch import BlockPrefetcher
     dev_ctx = (_jax.default_device(device) if device is not None
                else contextlib.nullcontext())
     wl_full = np.asarray(wavelengths, np.float32)
@@ -196,7 +206,10 @@ def masks_for_cube(read_block, nrows: int, ncols: int, wavelengths,
     overlap = int(np.ceil((mingrowarea or 0)
                           + (maskgrowradius_px or 0)))
     block_length = block_step + overlap
-    for r0 in range(0, nrows, block_step):
+    starts = list(range(0, nrows, block_step))
+
+    def _read(bi):
+        r0 = starts[bi]
         r1 = min(nrows, r0 + block_length)
         blk = np.asarray(read_block(r0, r1), np.float32)[:, :, need]
         if blk.shape[0] < block_length:
@@ -205,19 +218,25 @@ def masks_for_cube(read_block, nrows: int, ncols: int, wavelengths,
             blk = np.concatenate(
                 [blk, np.full((block_length - blk.shape[0],) + blk.shape[1:],
                               -9999.0, np.float32)], axis=0)
+        # host-side inputs of the flare growth (stays on host)
+        vis_veto = np.asarray(blk[: r1 - r0, :, params.spec_band]
+                              >= params.vis_grow_threshold)
+        return blk, vis_veto
+
+    for bi, (blk, vis_veto) in BlockPrefetcher(_read, len(starts),
+                                               device=device):
+        r0 = starts[bi]
+        r1 = min(nrows, r0 + block_length)
         with dev_ctx:
             sat, cloud, spec, dark = (np.asarray(m)[: r1 - r0] for m in
-                                      pixel_masks(jnp.asarray(blk),
-                                                  wavelengths, params))
+                                      pixel_masks(blk, wavelengths, params))
         spec_full[r0:r1][spec] = 1
         cloud_full[r0:r1][cloud] = 1
         dark_full[r0:r1][dark] = 1
         sat_full[r0:r1][sat] = 1
         if maskgrowradius_px is not None:
-            vis_veto = np.asarray(blk[: r1 - r0, :, params.spec_band]
-                                  >= params.vis_grow_threshold)
-            fl = grow_flare_mask(sat, spec, vis_veto, maskgrowradius_px,
-                                 mingrowarea)
+            fl = grow_flare_mask(sat, spec, np.asarray(vis_veto),
+                                 maskgrowradius_px, mingrowarea)
             flare_full[r0:r1] = np.maximum(flare_full[r0:r1], fl)
 
     cloud_buf = dilate_mask(cloud_full, cldbfr_px) if cldbfr_px else \
@@ -228,6 +247,8 @@ def masks_for_cube(read_block, nrows: int, ncols: int, wavelengths,
     out[..., 1] = spec_full
     out[..., 2] = flare_full
     out[..., 3] = dark_full
+    if callable(nodata_row0):
+        nodata_row0 = nodata_row0()
     if nodata_row0 is not None:
         out[np.asarray(nodata_row0)] = -9999
     return out

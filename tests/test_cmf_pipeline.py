@@ -247,6 +247,45 @@ def test_f32_cond_fallback_reroutes_to_f64(tmp_path, rng):
     assert err_raw > 10 * err_fb             # fallback genuinely needed
 
 
+def test_f32_cond_fallback_multimodal(tmp_path, rng):
+    """Multimodal (-k 2) float32 pipeline + a near-singular background
+    mode: the per-(column, mode) cond gate reroutes the flagged columns
+    through the full f64 multimodal path on the CPU (VERDICT r2 item 5 —
+    previously the f32 failure regime was silently reachable via -k)."""
+    L, C = 240, 6
+    infile, libf, x, lib = _write_flightline(tmp_path, rng, L=L, C=C)
+    x = x.copy()
+    # two clearly separated background modes in every column
+    x[: L // 2] += 8.0
+    nb = 422 - 350
+    # columns 1 and 4: the BRIGHT mode is rank-4 in the active window
+    # (offset inside abs: folding a shifted low-rank signal keeps rank 4)
+    for c in (1, 4):
+        U = rng.normal(size=(4, nb))
+        x[: L // 2, c, 350:422] = np.abs(
+            rng.normal(size=(L // 2, 4)) @ U
+            + rng.normal(size=(L // 2, nb)) * 1e-4 + 12.0)
+    envi_io.save_envi(infile + ".hdr", x,
+                      metadata=envi_io.open_envi(infile).metadata,
+                      interleave="bil", force=True)
+
+    def run(name, **kw):
+        out = str(tmp_path / name)
+        pl.robust_mf_image(infile, libf, out, col_chunk=3, bgmodes=2,
+                           pcadim=4, **kw)
+        return np.asarray(envi_io.open_envi(out).load())[..., -1]
+
+    mf64 = run("out64", dtype=np.float64)
+    mf32 = run("out32", dtype=np.float32)               # fallback on
+    mf32_raw = run("out32raw", dtype=np.float32, cond_thresh=0.0)
+
+    scale = np.abs(mf64).max()
+    err_fb = np.abs(mf32 - mf64).max() / scale
+    err_raw = np.abs(mf32_raw[:, [1, 4]] - mf64[:, [1, 4]]).max() / scale
+    assert err_fb < 5e-3                     # tracks the f64 oracle
+    assert err_raw > 10 * err_fb             # fallback genuinely needed
+
+
 def test_sharded_multimodal_matches_single_device(rng):
     """Multimodal CMF with the column axis sharded over the 8-device CPU
     mesh == single device (VERDICT r1 item 9)."""

@@ -115,6 +115,22 @@ def test_cnn_window_chunk_matches_crops(small_model, rng):
         np.testing.assert_allclose(sal[r, c], ref, rtol=1e-5, atol=1e-6)
 
 
+def test_cnn_window_scan_matches_per_batch(small_model, rng):
+    """The fori_loop scan (one dispatch per `superbatch` batches — the
+    dispatch-amortized path, VERDICT r2 item 3) is bit-identical to the
+    per-batch host loop, including the padded tail and multi-dispatch
+    splits."""
+    from srcfinder_tpu.detect.cnn_pipeline import cnn_window_saliency
+    model, variables = small_model
+    img = rng.normal(size=(9, 13)).astype(np.float32)   # 117 windows
+    per_batch = np.asarray(cnn_window_saliency(
+        model, variables, jnp.asarray(img), dim=32, batch=16, superbatch=1))
+    # stride 16*4=64 -> 2 dispatches, second with a padded tail
+    scanned = np.asarray(cnn_window_saliency(
+        model, variables, jnp.asarray(img), dim=32, batch=16, superbatch=4))
+    np.testing.assert_array_equal(scanned, per_batch)
+
+
 def test_cnn_fast_mode_runs(small_model, rng):
     from srcfinder_tpu.detect.cnn_pipeline import cnn_fast_saliency
     model, variables = small_model

@@ -538,6 +538,39 @@ def test_ime_cli(tmp_path, rng):
     assert set(df.mergedist_m) == {10.0, 20.0}
 
 
+def test_run_jobs_once_fresh_dir_sees_backlog(tmp_path):
+    """srcfinder-jobs --once in a FRESH watch directory (no
+    .last_run_time cursor yet) must process the pre-existing backlog
+    without --force: DirWatcher alone would initialize its cursor to
+    now and skip it (ADVICE r2)."""
+    from srcfinder_tpu.flow.deploy import load_job_specs, run_jobs
+    import srcfinder_tpu
+
+    specs = load_job_specs(os.path.join(
+        os.path.dirname(srcfinder_tpu.__file__), "..", "deployment",
+        "jobs.json"))
+    d = tmp_path / "incoming"
+    os.makedirs(d)
+    (d / "ang1_cmf_v2_img").write_text("x")
+    # the cursor file stores whole seconds (reference format %H:%M:%S);
+    # backdate the backlog so the second run is not a same-second tie
+    past = time.time() - 10
+    os.utime(d / "ang1_cmf_v2_img", (past, past))
+
+    ran = []
+    extra = {"WEIGHTS": "w.npz", "OUTDIR": "o", "LIBRARY": "lib.txt"}
+    q, jobs = run_jobs(specs, str(d), extra_params=extra, once=True,
+                       force=False, runner=ran.append,
+                       explicit_jobs={"compute-ime"})
+    assert sorted(j.job_type for j in jobs) == ["compute-ime"]
+
+    # second run with the cursor now present: the old file is not re-seen
+    q2, jobs2 = run_jobs(specs, str(d), extra_params=extra, once=True,
+                         force=False, runner=ran.append,
+                         explicit_jobs={"compute-ime"})
+    assert jobs2 == []
+
+
 def test_run_jobs_event_fanout(tmp_path):
     """srcfinder-jobs: one event stream, per-job regex filters — a CMF
     product triggers BOTH fcn-pred and compute-ime (with extra params
@@ -605,16 +638,19 @@ def test_jobs_cli(tmp_path):
 
 
 def test_merge_ime_into_plumelist():
-    """Per-candidate IME-column attach: proximity match, mean/std across
-    merge distances, aspect from the 20 m distance; far candidates stay
-    NaN (emission stage then reports NA)."""
+    """Per-candidate IME-column attach: proximity match; the *20 columns
+    come from the 20 m merge-distance rows ONLY (the reference's column
+    suffix denotes that merge distance — mixing 10/50 m rows would bias
+    the emission rate); far candidates stay NaN (emission reports NA)."""
     from srcfinder_tpu.flow.ime_worker import merge_ime_into_plumelist
 
     ime = pd.DataFrame([
         dict(mergedist_m=10, ime_div_fetch=0.4, aspect=0.5,
-             lat=36.0, lon=-119.5),
+             lat=36.0, lon=-119.5),      # 10 m row must NOT pollute *20
         dict(mergedist_m=20, ime_div_fetch=0.6, aspect=0.7,
              lat=36.0002, lon=-119.5),
+        dict(mergedist_m=20, ime_div_fetch=0.8, aspect=0.3,
+             lat=36.0003, lon=-119.5),   # second 20 m row, farther away
         dict(mergedist_m=20, ime_div_fetch=9.9, aspect=0.1,
              lat=37.5, lon=-118.0),      # a different, far-away plume
     ])
@@ -625,10 +661,31 @@ def test_merge_ime_into_plumelist():
          "Plume Longitude (deg)": -100.0},
     ])
     out = merge_ime_into_plumelist(plumes, ime, radius_m=150.0)
-    assert out.loc[0, "AvgIMEdivFetch20 (kg/m)"] == pytest.approx(0.5)
+    assert out.loc[0, "AvgIMEdivFetch20 (kg/m)"] == pytest.approx(0.7)
     assert out.loc[0, "StdIMEdivFetch20 (kg/m)"] == pytest.approx(0.1)
+    # aspect from the nearest matched 20 m row
     assert out.loc[0, "Aspect ratio20"] == pytest.approx(0.7)
     assert np.isnan(out.loc[1, "AvgIMEdivFetch20 (kg/m)"])
+
+
+def test_merge_ime_nearest_mergedist_when_no_20():
+    """When 20 m is not among MERGEDISTS the nearest distance stands in."""
+    from srcfinder_tpu.flow.ime_worker import merge_ime_into_plumelist
+
+    ime = pd.DataFrame([
+        dict(mergedist_m=10, ime_div_fetch=0.4, aspect=0.5,
+             lat=36.0, lon=-119.5),
+        dict(mergedist_m=50, ime_div_fetch=0.9, aspect=0.2,
+             lat=36.0001, lon=-119.5),
+    ])
+    plumes = pd.DataFrame([
+        {"Candidate ID": "c1", "Plume Latitude (deg)": 36.0001,
+         "Plume Longitude (deg)": -119.5},
+    ])
+    out = merge_ime_into_plumelist(plumes, ime, radius_m=150.0)
+    # nearest distance to 20 among (10, 50) is 10
+    assert out.loc[0, "AvgIMEdivFetch20 (kg/m)"] == pytest.approx(0.4)
+    assert out.loc[0, "Aspect ratio20"] == pytest.approx(0.5)
 
 
 def test_harvest_cli(tmp_path):
@@ -696,20 +753,57 @@ def test_msf_flow_end_to_end(tmp_path, rng):
     assert len(back) == 2
 
 
-def test_wind_export_nc(tmp_path, rng):
+def test_wind_export_nc_classic(tmp_path, rng):
+    """NetCDF-3 fallback engine (scipy round-trip)."""
     from srcfinder_tpu.flow import wind_export
     g = make_grid(rng, ny=12, nx=16)
     p = write_grid(tmp_path, "w.npz", g)
     ncf = str(tmp_path / "w.nc")
-    wind_export.wind_grid_to_nc(p, ncf)
+    wind_export.wind_grid_to_nc(p, ncf, engine="classic")
     from scipy.io import netcdf_file
     with netcdf_file(ncf, "r") as nc:
-        assert nc.Conventions == b"CF-1.8"
+        assert b"CF-1.8" in nc.Conventions
         u = nc.variables["u"][:]
         lats = nc.variables["lat"][:]
         assert u.shape == (len(lats), len(nc.variables["lon"][:]))
         assert abs(float(u.mean()) - float(g.u.mean())) < 0.2
         assert nc.variables["u"].standard_name == b"eastward_wind"
+
+
+def test_wind_export_nc4(tmp_path, rng):
+    """Default engine writes the reference's format: NetCDF-4 (HDF5 +
+    dimension scales) with zlib-compressed (time, lat, lon) variables
+    and the ACDD global-attribute table
+    (reference: get_wind_bands.py:145-263 writes NETCDF4, zlib=True)."""
+    h5py = pytest.importorskip("h5py")
+    from srcfinder_tpu.flow import wind_export
+    g = make_grid(rng, ny=12, nx=16)
+    p = write_grid(tmp_path, "w.npz", g)
+    ncf = str(tmp_path / "w4.nc")
+    out = wind_export.wind_grid_to_nc(p, ncf)
+    assert out == ncf
+    with open(ncf, "rb") as f:
+        assert f.read(8) == b"\x89HDF\r\n\x1a\n"       # HDF5 = NetCDF-4
+    with h5py.File(ncf, "r") as f:
+        u = f["u"]
+        assert u.shape == (1, len(f["lat"]), len(f["lon"]))
+        assert u.compression == "gzip"                  # the zlib vars
+        assert f["lat"].attrs["CLASS"] == b"DIMENSION_SCALE"
+        assert f["lat"].attrs["_Netcdf4Dimid"] == 1
+        # dimension scales attached in (time, lat, lon) order
+        assert f["u"].dims[1][0] == f["lat"]
+        assert u.attrs["standard_name"] in ("eastward_wind",
+                                            b"eastward_wind")
+        vals = np.asarray(u[0])
+        assert abs(float(vals.mean()) - float(g.u.mean())) < 0.2
+        conv = f.attrs["Conventions"]
+        conv = conv.decode() if isinstance(conv, bytes) else conv
+        assert "CF-1.8" in conv and "ACDD" in conv
+        for key in ("title", "summary", "time_coverage_start",
+                    "geospatial_lat_min", "processing_level", "history"):
+            assert key in f.attrs
+        assert int(np.asarray(f["time"])[0]) == int(
+            g.valid_date.replace(tzinfo=dt.timezone.utc).timestamp())
 
 
 def test_parse_wind_filename_date():
@@ -1353,11 +1447,13 @@ def test_wind_export_from_complex_grib(tmp_path, rng):
     _encode_grib2_complex(p, g, spatial_order=2, lambert=True)
     ncf = str(tmp_path / "out.nc")
     wind_grid_to_nc(p, ncf)
-    from scipy.io import netcdf_file
-    with netcdf_file(ncf, "r") as nc:
-        assert b"CF-1.8" in nc.Conventions
-        u = nc.variables["u"][:]
-        assert np.isfinite(u[np.asarray(u) > -9000]).all()
+    h5py = pytest.importorskip("h5py")
+    with h5py.File(ncf, "r") as f:
+        conv = f.attrs["Conventions"]
+        conv = conv.decode() if isinstance(conv, bytes) else conv
+        assert "CF-1.8" in conv
+        u = np.asarray(f["u"][0])
+        assert np.isfinite(u[u > -9000]).all()
 
 
 def test_msf_flow_cli_object_store(tmp_path, rng):

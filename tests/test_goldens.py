@@ -47,7 +47,112 @@ def _fcn_case():
                                           jnp.asarray(img))),)
 
 
-_CASES = {"cmf_mf": _cmf_case, "fcn_saliency": _fcn_case}
+def _masks_case():
+    """4-band QC mask over a seeded synthetic cube (8 bands, all four
+    tests + flare growth + cloud buffer exercised)."""
+    from srcfinder_tpu.masks import MaskParams, masks_for_cube
+    wl = np.array([450., 670., 1250., 2139., 500., 2000., 2200., 2400.],
+                  np.float32)
+    params = MaskParams(cld_bands=(0, 1, 2), dark_band=3, spec_band=4)
+    rng = np.random.default_rng(12345)
+    cube = np.abs(rng.normal(1.0, 0.5, (48, 24, 8))).astype(np.float32)
+    cube[5:9, 5:9, 6] = 7.5          # saturated region -> flare growth
+    cube[12, 12, 4] = 10.5
+    cube[12, 12, 6] = 7.5            # specular
+    cube[20:23, 3:6, 3] = 0.05       # dark
+    cube[30:33, 10:12, 0] = 20.0     # cloud (negative slopes)
+    cube[30:33, 10:12, 1] = 5.0
+    cube[30:33, 10:12, 2] = 2.0
+    cube[0, 0] = -9999.0             # nodata
+    out = masks_for_cube(lambda r0, r1: cube[r0:r1], 48, 24, wl,
+                         params=params, maskgrowradius_px=3.0,
+                         mingrowarea=5, cldbfr_px=2.0, block_step=16,
+                         nodata_row0=cube[..., 0] == -9999.0)
+    return (out.astype(np.int16),)
+
+
+def _ime_case():
+    """Per-plume IME stats over a seeded CMF band (all merge distances)."""
+    from srcfinder_tpu.flow.ime_worker import detection_ime_stats
+    rng = np.random.default_rng(12345)
+    cmf = rng.normal(200.0, 150.0, (64, 48)).astype(np.float32)
+    cmf[10:16, 10:15] = 2500.0
+    cmf[18:21, 18:20] = 3200.0       # merges with the above at 50 m
+    cmf[40:44, 30:33] = 1800.0
+    cmf[0, :] = -9999.0
+    m = dict(proj="UTM", ulx=391000.0, uly=3786000.0, xps=3.0, yps=3.0,
+             zone="11", hemi="North", rotation=0.0)
+    df = detection_ime_stats(cmf, m)
+    cols = ["mergedist_m", "plume", "area_px", "ime_kg", "fetch_m",
+            "ime_div_fetch", "aspect", "row", "col", "lat", "lon"]
+    return tuple(df[c].to_numpy(np.float64) for c in cols)
+
+
+def _wind_case():
+    """windMNSTD over seeded npz wind grids + the emission rate derived
+    from the resulting stats (the enrichment numerics end-to-end)."""
+    import datetime as _dt2
+    import tempfile
+    from srcfinder_tpu.flow.windgrid import WindGrid, write_wind_grid_npz
+    from srcfinder_tpu.flow.wind import wind_mnstd
+    from srcfinder_tpu.flow.emission import compute_emission_rate
+
+    rng = np.random.default_rng(12345)
+    lat0, lon0 = 36.04, -119.53
+    lats = (np.linspace(lat0 - 1, lat0 + 1, 15)[:, None]
+            * np.ones((1, 15)))
+    lons = (np.linspace(lon0 - 1, lon0 + 1, 15)[None, :]
+            * np.ones((15, 1)))
+    with tempfile.TemporaryDirectory() as d:
+        files = []
+        for h in (20, 21, 22):
+            g = WindGrid(lats, lons,
+                         rng.normal(3.0, 0.7, lats.shape),
+                         rng.normal(4.0, 0.7, lats.shape),
+                         rng.normal(6.0, 0.7, lats.shape),
+                         _dt2.datetime(2020, 9, 24, h))
+            p = os.path.join(d, f"hrrr.20200924{h:02d}.wrfsfcf00.npz")
+            write_wind_grid_npz(p, g)
+            files.append(p)
+        mean, std = wind_mnstd(10, (lon0, lat0), files)[:2]
+    plume = {"AvgIMEdivFetch20 (kg/m)": 0.02,
+             "StdIMEdivFetch20 (kg/m)": 0.005,
+             "Aspect ratio20": 0.5,
+             "Wind Mean (m/s) [hrrr 10 m, 10 nearest points for each of "
+             "3 closest times]": mean,
+             "Wind Std (m/s) [hrrr 10 m, 10 nearest points for each of "
+             "3 closest times]": std}
+    stats = compute_emission_rate(plume, "hrrr")
+    er = [float(v) for k, v in stats.items() if "Emission" in k]
+    return (np.array([mean, std]), np.array(er))
+
+
+def _dedup_case():
+    """Duplicate-plume filter: Teale Albers overlap matrix + the kept-row
+    index set over a seeded clustered plume list."""
+    import pandas as pd
+    from srcfinder_tpu.flow.dedup import calculate_overlap, filter_plumes
+
+    rng = np.random.default_rng(12345)
+    n = 12
+    lat = 36.0 + np.concatenate([rng.normal(0, 2e-4, 8),
+                                 rng.normal(0.05, 2e-4, 4)])
+    lon = -119.5 + np.concatenate([rng.normal(0, 2e-4, 8),
+                                   rng.normal(0.05, 2e-4, 4)])
+    flux = rng.uniform(50, 500, n)
+    df = pd.DataFrame({"Plume Latitude (deg)": lat,
+                       "Plume Longitude (deg)": lon,
+                       "Source identifier": [f"S{i:03d}" for i in range(n)],
+                       "Flux (kg/hr)": flux})
+    overlaps = calculate_overlap(df)
+    kept = filter_plumes(df, ["Flux (kg/hr)"])
+    kept_idx = np.sort(np.asarray(kept.index, np.int64))
+    return (overlaps["V2"].to_numpy(np.float64), kept_idx)
+
+
+_CASES = {"cmf_mf": _cmf_case, "fcn_saliency": _fcn_case,
+          "masks": _masks_case, "ime": _ime_case, "wind": _wind_case,
+          "dedup": _dedup_case}
 
 
 def _golden_path(name):
@@ -63,17 +168,20 @@ def test_golden(name):
     got = _CASES[name]()
     ref = np.load(path)
     assert len(ref.files) == len(got)
-    for i, key in enumerate(sorted(ref.files)):
-        np.testing.assert_allclose(got[i], ref[key], rtol=1e-6, atol=1e-9,
-                                   err_msg=f"{name}[{key}]")
+    for i in range(len(got)):
+        np.testing.assert_allclose(got[i], ref[f"a{i:02d}"], rtol=1e-6,
+                                   atol=1e-9, err_msg=f"{name}[a{i:02d}]")
 
 
 if __name__ == "__main__":
     import sys
+    # match the test environment (tests/conftest.py pins the CPU backend;
+    # goldens generated on the TPU would differ — f64 there is emulated)
+    jax.config.update("jax_platforms", "cpu")
     if len(sys.argv) > 1 and sys.argv[1] == "regen":
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         for name, fn in _CASES.items():
             arrs = fn()
             np.savez(_golden_path(name),
-                     **{f"a{i}": a for i, a in enumerate(arrs)})
+                     **{f"a{i:02d}": a for i, a in enumerate(arrs)})
             print("wrote", _golden_path(name))

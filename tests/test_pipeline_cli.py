@@ -101,6 +101,33 @@ def test_pipeline_end_to_end(flightline, tmp_path, capsys):
     assert "[STAGE]" not in outtext
 
 
+def test_pipeline_fused_single_pass_matches_separate(flightline, tmp_path):
+    """--masks fuses the CMF and masks stages onto ONE streaming read of
+    the radiance cube (VERDICT r2 item 1); products must be bit-identical
+    to the separate-stage paths (CMF-only pipeline + standalone masks)."""
+    from srcfinder_tpu.flow.pipeline_cli import run_flightline
+    from srcfinder_tpu.masks.cli import masks_for_flightline
+
+    rdn, libf, wf, winds = flightline
+    out_f = str(tmp_path / "out_fused")
+    out_s = str(tmp_path / "out_sep")
+    pf = run_flightline(rdn, libf, wf, out_f, do_masks=True, col_chunk=8)
+    assert pf["timers"].get("cmf+masks (fused single-pass read)") is not None
+    ps = run_flightline(rdn, libf, wf, out_s, do_masks=False, col_chunk=8)
+
+    cmf_f = np.asarray(envi_io.open_envi(pf["cmf"]).load())
+    cmf_s = np.asarray(envi_io.open_envi(ps["cmf"]).load())
+    np.testing.assert_array_equal(cmf_f, cmf_s)
+
+    os.makedirs(str(tmp_path / "msk_sep"), exist_ok=True)
+    masks_for_flightline(rdn, str(tmp_path / "msk_sep"))
+    sep_name = os.path.basename(pf["masks"])
+    msk_f = np.asarray(envi_io.open_envi(pf["masks"]).load())
+    msk_s = np.asarray(envi_io.open_envi(
+        os.path.join(str(tmp_path / "msk_sep"), sep_name)).load())
+    np.testing.assert_array_equal(msk_f, msk_s)
+
+
 def test_pipeline_fcn_bf16(flightline, tmp_path):
     """--fcn-dtype bfloat16 runs the saliency stage on the MXU-native
     trunk; output must stay close to the f32 stage (the delta bound is
