@@ -28,6 +28,17 @@ import time
 __all__ = ["run_flightline", "main"]
 
 
+def _finalize(*pairs):
+    """Atomically promote ``<file>.part`` products to their final names
+    (img + .hdr). A stage killed mid-write must NOT leave a final-named
+    partial product — the idempotent [SKIP] logic would trust it on the
+    next run (SURVEY §5 checkpoint/resume)."""
+    for part, final in pairs:
+        for ext in ("", ".hdr"):
+            if os.path.exists(part + ext):
+                os.replace(part + ext, final + ext)
+
+
 def _stage(name, timers, progress):
     class _T:
         def __enter__(self):
@@ -120,7 +131,8 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
                 rgb[r0:r1] = blk[:, :, list(rgb_bands)]
 
             try:
-                masks_for_flightline(radiance, outdir, out_name=mskname,
+                masks_for_flightline(radiance, outdir,
+                                     out_name=mskname + ".part",
                                      device=_host_device(), tap=tap)
             except (ValueError, RuntimeError) as e:
                 # no wavelength metadata / no meter map-info for the grow
@@ -129,26 +141,31 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
                 progress(f"[WARN] fused masks failed, masks skipped: {e}")
                 products["masks"] = None
             else:
-                robust_mf_image(radiance, library, cmff, bgmodes=bgmodes,
+                robust_mf_image(radiance, library, cmff + ".part",
+                                bgmodes=bgmodes,
                                 dtype=np.dtype(dtype).type,
                                 col_chunk=col_chunk,
                                 rgb_bands=rgb_bands,
                                 preloaded=(slab, rgb))
+                _finalize((mskf + ".part", mskf), (cmff + ".part", cmff))
                 fused = True
             need_masks = False
 
     if need_cmf and not fused:
         with _stage("cmf", timers, progress):
-            robust_mf_image(radiance, library, cmff, bgmodes=bgmodes,
-                            dtype=np.dtype(dtype).type,
+            robust_mf_image(radiance, library, cmff + ".part",
+                            bgmodes=bgmodes, dtype=np.dtype(dtype).type,
                             col_chunk=col_chunk)
+            _finalize((cmff + ".part", cmff))
 
     if need_masks and not fused:
         from ..masks.cli import masks_for_flightline
         with _stage("masks", timers, progress):
             try:
-                masks_for_flightline(radiance, outdir, out_name=mskname,
+                masks_for_flightline(radiance, outdir,
+                                     out_name=mskname + ".part",
                                      device=_host_device())
+                _finalize((mskf + ".part", mskf))
             except (ValueError, RuntimeError) as e:
                 progress(f"[WARN] masks skipped: {e}")
                 products["masks"] = None
@@ -172,8 +189,9 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
             meta = {"data ignore value": -9999}
             if "map info" in img.metadata:
                 meta["map info"] = img.metadata["map info"]
-            envi_io.save_envi(salf + ".hdr", sal.astype(np.float32),
+            envi_io.save_envi(salf + ".part.hdr", sal.astype(np.float32),
                               metadata=meta, interleave="bip")
+            _finalize((salf + ".part", salf))
 
     # ---- L4: candidates --------------------------------------------------
     detdir = os.path.join(outdir, os.path.basename(cmff) + "_detections")

@@ -343,12 +343,24 @@ def read_grib2(path: str, alt: int = 10) -> WindGrid:
     grid_body = None
     with open(path, "rb") as f:
         blob = f.read()
+    if blob[:4] != b"GRIB":
+        raise ValueError(f"{path}: not a GRIB2 file (no GRIB magic)")
     pos = 0
     while pos < len(blob):
         if blob[pos:pos + 4] != b"GRIB":
             break
+        if pos + 16 > len(blob):
+            raise ValueError(f"{path}: truncated GRIB2 indicator section "
+                             f"at byte {pos}")
         total_len = struct.unpack(">Q", blob[pos + 8:pos + 16])[0]
+        if total_len < 20 or pos + total_len > len(blob):
+            raise ValueError(
+                f"{path}: corrupt GRIB2 message length {total_len} at "
+                f"byte {pos} (file has {len(blob) - pos} bytes left)")
         msg = blob[pos:pos + total_len]
+        if msg[-4:] != b"7777":
+            raise ValueError(f"{path}: GRIB2 message at byte {pos} does "
+                             "not end with the 7777 terminator (truncated?)")
         pos += total_len
         i = 16
         grid = None
@@ -360,6 +372,12 @@ def read_grib2(path: str, alt: int = 10) -> WindGrid:
                 break
             sec_len = struct.unpack(">I", msg[i:i + 4])[0]
             sec_num = msg[i + 4]
+            # a zero/short section length would loop forever; one past
+            # the message end is a truncation
+            if sec_len < 5 or i + sec_len > len(msg):
+                raise ValueError(
+                    f"{path}: corrupt GRIB2 section {sec_num} length "
+                    f"{sec_len} at message offset {i}")
             body = msg[i:i + sec_len]
             if sec_num == 1:
                 year, month, day, hour, minute, sec = struct.unpack(
@@ -392,6 +410,10 @@ def read_grib2(path: str, alt: int = 10) -> WindGrid:
                 elif body[5] == 255:
                     pass  # 254 = reuse previous: kept as-is
             elif sec_num == 7:
+                if grid is None or drs is None or prod is None:
+                    raise ValueError(
+                        f"{path}: GRIB2 data section without preceding "
+                        "grid/product/representation sections")
                 lat2d, lon2d, ni, nj = grid
                 npts = ni * nj
                 nvals = int(bmp[:npts].sum()) if bmp is not None else npts
@@ -409,6 +431,11 @@ def read_grib2(path: str, alt: int = 10) -> WindGrid:
                 bmp = None
             i += sec_len
 
+    if grid_body is None:
+        raise ValueError(f"{path}: no grid-definition section decoded "
+                         "(empty or corrupt GRIB2)")
+    if "valid_date" not in meta:
+        raise ValueError(f"{path}: no identification section decoded")
     lat2d, lon2d, ni, nj = grid_body
 
     def pick(number):

@@ -244,24 +244,19 @@ async function load(){
    +'<td><button onclick="delCand(\\''+r.cid+'\\')">delete</button></td>';
   t.appendChild(tr);}
 }
-function curView(){return view||[0,0,dims[0],dims[1]];}
-function zoom(f){const v=curView();
- const cx=(v[0]+v[2])/2, cy=(v[1]+v[3])/2;
- let wx=Math.max(16,(v[2]-v[0])*f/2), wy=Math.max(16,(v[3]-v[1])*f/2);
- view=[Math.round(cx-wx),Math.round(cy-wy),Math.round(cx+wx),
-       Math.round(cy+wy)];load();}
-function pan(dx,dy){const v=curView();const sx=(v[2]-v[0])>>2,
- sy=(v[3]-v[1])>>2;
- view=[v[0]+dx*sx,v[1]+dy*sy,v[2]+dx*sx,v[3]+dy*sy];load();}
-function zoomTo(x,y){const r=64;
- view=[Math.round(x-r),Math.round(y-r),Math.round(x+r),Math.round(y+r)];
- load();}
+async function setView(body){
+ const r=await j('/api/view',{method:'POST',body:JSON.stringify(
+   Object.assign({view:view,dims:dims},body))});
+ view=r.view;load();}
+function zoom(f){setView({op:'zoom',f:f});}
+function pan(dx,dy){setView({op:'pan',dx:dx,dy:dy});}
+function zoomTo(x,y){setView({op:'zoomTo',x:x,y:y});}
 async function addCand(e){
- const img=document.getElementById('img');const v=curView();
- const x=Math.floor(v[0]+e.offsetX*(v[2]-v[0])/img.width);
- const y=Math.floor(v[1]+e.offsetY*(v[3]-v[1])/img.height);
+ const img=document.getElementById('img');
  await j('/api/add',{method:'POST',body:JSON.stringify(
-   {fl:fl(),col:x,row:y,label:document.getElementById('lab').value})});
+   {fl:fl(),view:view,dims:dims,offx:e.offsetX,offy:e.offsetY,
+    imgw:img.width,imgh:img.height,
+    label:document.getElementById('lab').value})});
  load();refreshLog();
 }
 async function relabel(cid,label){
@@ -304,6 +299,51 @@ async function refreshLog(){
 init();
 </script><script id=labjson type=application/json>__LABELS__</script>
 </body></html>"""
+
+
+def cur_view(view, dims):
+    """The page's curView(): the explicit viewport or the full image."""
+    return [int(v) for v in view] if view else [0, 0, int(dims[0]),
+                                               int(dims[1])]
+
+
+def view_math(op, view, dims, **p):
+    """Viewport navigation — the single source of truth for the page's
+    zoom/pan/zoomTo buttons (the JS calls /api/view so no coordinate
+    math lives client-side where tests cannot execute it)."""
+    import math as _math
+    v = cur_view(view, dims)
+
+    def _round(x):       # JS Math.round: half away from zero upward
+        return int(_math.floor(x + 0.5))
+
+    if op == "zoom":
+        f = float(p["f"])
+        cx, cy = (v[0] + v[2]) / 2, (v[1] + v[3]) / 2
+        wx = max(16.0, (v[2] - v[0]) * f / 2)
+        wy = max(16.0, (v[3] - v[1]) * f / 2)
+        return [_round(cx - wx), _round(cy - wy),
+                _round(cx + wx), _round(cy + wy)]
+    if op == "pan":
+        dx, dy = int(p["dx"]), int(p["dy"])
+        sx, sy = (v[2] - v[0]) >> 2, (v[3] - v[1]) >> 2
+        return [v[0] + dx * sx, v[1] + dy * sy,
+                v[2] + dx * sx, v[3] + dy * sy]
+    if op == "zoomTo":
+        x, y, r = float(p["x"]), float(p["y"]), 64
+        return [_round(x - r), _round(y - r), _round(x + r), _round(y + r)]
+    raise ValueError(f"unknown view op {op!r}")
+
+
+def click_to_pixel(view, dims, offx, offy, imgw, imgh):
+    """CSS click offset on the rendered image -> image pixel (col, row).
+    The page posts the raw event to /api/add; this is the only
+    implementation of the mapping (formerly duplicated in JS)."""
+    import math as _math
+    v = cur_view(view, dims)
+    x = int(_math.floor(v[0] + float(offx) * (v[2] - v[0]) / float(imgw)))
+    y = int(_math.floor(v[1] + float(offy) * (v[3] - v[1]) / float(imgh)))
+    return x, y
 
 
 class QcWebApp:
@@ -370,8 +410,19 @@ class QcWebApp:
                 parsed = urllib.parse.urlparse(self.path)
                 try:
                     if parsed.path == "/api/add":
-                        app.add(body["fl"], int(body["row"]),
-                                int(body["col"]), body["label"])
+                        if "offx" in body:      # raw click event
+                            col, row = click_to_pixel(
+                                body.get("view"), body["dims"],
+                                body["offx"], body["offy"],
+                                body["imgw"], body["imgh"])
+                        else:                   # direct pixel (API use)
+                            col, row = int(body["col"]), int(body["row"])
+                        app.add(body["fl"], row, col, body["label"])
+                    elif parsed.path == "/api/view":
+                        return self._json(dict(view=view_math(
+                            body["op"], body.get("view"), body["dims"],
+                            **{k: v for k, v in body.items()
+                               if k in ("f", "dx", "dy", "x", "y")})))
                     elif parsed.path == "/api/relabel":
                         app.relabel(body["fl"], body["cid"], body["label"])
                     elif parsed.path == "/api/delete":

@@ -1028,6 +1028,61 @@ def _encode_grib2_complex(path, grid, spatial_order=2, lambert=False,
         f.write(msg)
 
 
+def test_grib2_malformed_inputs_raise_cleanly(tmp_path, rng):
+    """Corrupt GRIB2 files must raise ValueError with context — never
+    hang (zero section length), struct.error, or TypeError. Downloaded
+    granule corruption is the reference's motivation for
+    wind_quality_check (msf_flow/harvester/wind_quality_check.py:86-135);
+    the quality check must flag every variant."""
+    import pytest as _pytest
+    from srcfinder_tpu.flow.windgrid import read_grib2
+
+    g = _tenths_grid(rng)
+    good = str(tmp_path / "hrrr.2020092421.wrfsfcf00.grib2")
+    _encode_grib2_complex(good, g, spatial_order=2)
+    blob = open(good, "rb").read()
+
+    def corrupt(name, data):
+        p = str(tmp_path / name)
+        with open(p, "wb") as f:
+            f.write(data)
+        return p
+
+    cases = {}
+    # 1. not a GRIB file at all
+    cases["notgrib.grib2"] = b"\x89PNG not a grib" * 4
+    # 2. truncated mid-message (no 7777 terminator in range)
+    cases["trunc.grib2"] = blob[: len(blob) // 2]
+    # 3. zero section length (would loop forever without the guard)
+    zs = bytearray(blob)
+    zs[16:20] = struct.pack(">I", 0)         # first section's length -> 0
+    cases["zerosec.grib2"] = bytes(zs)
+    # 4. section length pointing past the message end
+    bs = bytearray(blob)
+    bs[16:20] = struct.pack(">I", len(blob) + 1000)
+    cases["longsec.grib2"] = bytes(bs)
+    # 5. declared message length beyond the file
+    ml = bytearray(blob)
+    ml[8:16] = struct.pack(">Q", len(blob) + 512)
+    cases["badmsglen.grib2"] = bytes(ml)
+    # 6. unsupported grid template id (section 3 starts after sec1's
+    #    21 bytes at offset 16+21; template half-word at +12)
+    gt = bytearray(blob)
+    gt[16 + 21 + 12: 16 + 21 + 14] = struct.pack(">H", 999)
+    cases["badgridtmpl.grib2"] = bytes(gt)
+
+    alerts = []
+    for name, data in cases.items():
+        p = corrupt(name, data)
+        with _pytest.raises(ValueError):
+            read_grib2(p)
+        assert not flow.wind_quality_check(
+            p, alert=lambda s, m: alerts.append(s)), name
+    assert len(alerts) == len(cases)
+    # the intact file still reads
+    assert flow.wind_quality_check(good)
+
+
 def _tenths_grid(rng, **kw):
     """Grid whose fields are exact multiples of 0.1 (lossless at D=1)."""
     g = make_grid(rng, **kw)

@@ -222,14 +222,14 @@ def test_webapp_wmts_and_bounds(app):
 def test_webapp_click_coordinate_mapping(app):
     """The browser-level contract: a click at CSS pixel (offsetX,
     offsetY) on the (integer-magnified, viewport-cropped) image must map
-    to the intended image pixel. This replays the page's exact JS math
-    (addCand in webapp._PAGE: x = v0 + offsetX*(v2-v0)/img.width) against
-    the served PNG dimensions, then round-trips through /api/add ->
-    latlon2sl."""
+    to the intended image pixel. The page posts the RAW click event to
+    /api/add (view + offsets + rendered size) and the server performs
+    the only implementation of the mapping (webapp.click_to_pixel) — so
+    this drives the exact path the browser uses, no JS re-derivation."""
     app_, name = app
     # zoomed viewport around (row 12, col 6): the zoomTo(64) window
     # clipped to the 20x30 image
-    v = (2, 8, 12, 18)                       # x0, y0, x1, y1
+    v = [2, 8, 12, 18]                       # x0, y0, x1, y1
     png = _get(app_, f"/img?fl={name}&layers=rgb,cmf"
                      f"&x0={v[0]}&y0={v[1]}&x1={v[2]}&y1={v[3]}")
     w, h = _png_size(png)
@@ -237,12 +237,36 @@ def test_webapp_click_coordinate_mapping(app):
     scale_x, scale_y = w / (v[2] - v[0]), h / (v[3] - v[1])
     off_x = (6 - v[0] + 0.5) * scale_x
     off_y = (12 - v[1] + 0.5) * scale_y
-    x = int((v[0] + off_x * (v[2] - v[0]) / w))   # the page's formula
-    y = int((v[1] + off_y * (v[3] - v[1]) / h))
-    assert (x, y) == (6, 12)
-    _post(app_, "/api/add", {"fl": name, "row": y, "col": x,
-                             "label": "Plume"})
+    _post(app_, "/api/add", {"fl": name, "view": v, "dims": [20, 30],
+                             "offx": off_x, "offy": off_y,
+                             "imgw": w, "imgh": h, "label": "Plume"})
     cands = json.loads(_get(app_, f"/api/candidates?fl={name}"))
     c = cands[-1]
     # server round-trips lat/lon -> (col,row) back to the clicked pixel
     assert abs(c["col"] - 6) < 1.0 and abs(c["row"] - 12) < 1.0
+
+
+def test_webapp_view_endpoint(app):
+    """Viewport navigation is server-side (/api/view): zoom halves the
+    window around the center (floored at 16 px half-width), pan steps a
+    quarter window, zoomTo centers a 64 px radius box — the page's
+    buttons post here, so these ARE the buttons' semantics."""
+    app_, name = app
+    dims = [20, 30]
+    # zoom in from the full image: center (10, 15), half-window (16, 16)
+    r = _post(app_, "/api/view", {"op": "zoom", "view": None,
+                                  "dims": dims, "f": 0.5})
+    assert r["view"] == [-6, -1, 26, 31]
+    # pan right by a quarter of the current window width
+    r2 = _post(app_, "/api/view", {"op": "pan", "view": [0, 0, 16, 12],
+                                   "dims": dims, "dx": 1, "dy": 0})
+    assert r2["view"] == [4, 0, 20, 12]
+    # zoomTo centers +-64 on the candidate
+    r3 = _post(app_, "/api/view", {"op": "zoomTo", "view": None,
+                                   "dims": dims, "x": 6, "y": 12})
+    assert r3["view"] == [-58, -52, 70, 76]
+    # the zoomed viewport still renders
+    v = r3["view"]
+    png = _get(app_, f"/img?fl={name}&layers=rgb,cmf"
+                     f"&x0={v[0]}&y0={v[1]}&x1={v[2]}&y1={v[3]}")
+    assert png[:4] == b"\x89PNG"
