@@ -19,8 +19,10 @@ srcfinder toolkit (reference: dsmbgu8/srcfinder):
 - ``qc``       plume QC label management (reference: cmftagger/)
 - ``parallel`` device-mesh sharding utilities (pjit/shard_map)
 
-The compute path is JAX (jit/vmap/shard_map + Pallas kernels); host-side
-raster I/O is numpy memmaps with an async prefetcher.
+The compute path is JAX (jit/vmap/shard_map); host-side raster I/O is
+numpy memmaps with an async prefetcher. (A Pallas moments kernel was
+benchmarked against XLA's fusion on hardware and removed when XLA won —
+see SCALING.md "Pallas verdict".)
 """
 
 __version__ = "0.1.0"

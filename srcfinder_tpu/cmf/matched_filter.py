@@ -188,8 +188,7 @@ def matched_filter_columns(x, m, abscf, alphas, model: str = "looshrinkage",
     # zero out invalid rows with where (not multiplication: NaN * 0 = NaN)
     mbool = m.astype(bool)
     x = jnp.where(mbool[:, :, None], x, 0.0)
-    # ``moments``: optionally precomputed (n, mu, S) — e.g. from the fused
-    # Pallas kernel (srcfinder_tpu.ops.masked_moments_pallas)
+    # ``moments``: optionally precomputed (n, mu, S)
     n, mu, S = masked_moments(x, m) if moments is None else moments
     ok = n >= 2.0                                                  # need ddof=1
 

@@ -56,15 +56,20 @@ def robust_mf_image(infile: str, library: str, outfile: str,
                     regfull: bool = False, reflectance: bool = False,
                     rgb_bands=(60, 42, 24), save_bgmeta: bool = False,
                     col_chunk: int = 256, dtype=np.float32,
-                    use_pallas: bool = False, verbose: bool = False,
+                    verbose: bool = False,
                     cond_thresh: float = 1e-6, preloaded=None):
     """Run the columnwise robust MF over a full flightline.
 
     Returns a dict with output paths and the column-stats arrays.
     ``dtype=float64`` enables jax x64 for the duration (the reference
     computes in float64 LAPACK; float32 is the TPU-native fast path).
-    ``use_pallas`` computes the masked moments with the fused streaming
-    kernel (unimodal path only).
+
+    The masked moments are computed by plain XLA (cmf.matched_filter.
+    masked_moments). A hand-written Pallas streaming-moments kernel was
+    benchmarked against it on the v5e at full-scene shape
+    (2801x256x71, 20 calls per dispatch to cancel tunnel latency):
+    XLA 2.80 ms/call vs Pallas 4.69 ms/call — XLA's fusion wins, so the
+    kernel was removed (r3; see SCALING.md "Pallas verdict").
 
     ``cond_thresh``: in the float32 path, columns whose whitened
     covariance has ``lam_min/lam_max`` below this (the characterized f32
@@ -91,8 +96,8 @@ def robust_mf_image(infile: str, library: str, outfile: str,
             pcadim=pcadim, reject=reject, regfull=regfull,
             reflectance=reflectance, rgb_bands=rgb_bands,
             save_bgmeta=save_bgmeta, col_chunk=col_chunk, dtype=dtype,
-            use_pallas=use_pallas, verbose=verbose,
-            cond_thresh=cond_thresh, preloaded=preloaded)
+            verbose=verbose, cond_thresh=cond_thresh,
+            preloaded=preloaded)
 
 
 def _f64_cpu_columns(xblk, cols, abscf, alphas, model, reflectance):
@@ -149,7 +154,7 @@ def _f64_cpu_columns_multimodal(xblk, cols, abscf, alphas, model,
 
 def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
                      reject, regfull, reflectance, rgb_bands, save_bgmeta,
-                     col_chunk, dtype, use_pallas, verbose, cond_thresh,
+                     col_chunk, dtype, verbose, cond_thresh,
                      preloaded=None):
     img = envi_io.open_envi(infile)
     mm = img.open_memmap(interleave="source")
@@ -293,13 +298,9 @@ def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
                 bg_mm[:, c0:c1, 0] = labels[:, :width]
                 bg_mm[:, c0:c1, 1] = alpha_pix[:, :width]
         else:
-            moments = None
-            if use_pallas:
-                from ..ops import masked_moments_pallas
-                moments = masked_moments_pallas(xj)
             res = mfmod.matched_filter_columns(
                 xj, mj, abscf_j, alphas_j, model=model,
-                reflectance=reflectance, moments=moments)
+                reflectance=reflectance)
             mf = np.asarray(res.mf) * ppm
             valid = np.asarray(mj) > 0
             alpha_index = np.array(res.alpha_index)   # writable copy
