@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-__all__ = ["GoogLeNet", "googlenet", "CAMPAIGN_NORM", "clamp_ch4"]
+__all__ = ["GoogLeNet", "googlenet", "CAMPAIGN_NORM", "clamp_ch4",
+           "fuse_variables", "fuse_inference"]
 
 #: per-campaign normalization constants
 #: (reference: cnn/cnn_pred_pipeline.py:126-157)
@@ -123,7 +124,17 @@ class BasicConv2d(nn.Module):
 
 
 class Inception(nn.Module):
-    """Four-branch inception block (reference: googlenet1.py:184-228)."""
+    """Four-branch inception block (reference: googlenet1.py:184-228).
+
+    ``fused=True`` (inference only) runs the three parallel 1x1 convs
+    (branch1, branch2_0, branch3_0) as ONE wide conv+BN named ``fused0``
+    and slices the result: per-output-channel math is unchanged (conv
+    dot products and BatchNorm affine are channelwise), but the input
+    map is read from HBM once instead of three times and the MXU sees
+    one wide contraction instead of three narrow ones. Parameters for
+    the fused layout come from :func:`fuse_variables` — checkpoints
+    always store the canonical (unfused) tree.
+    """
     ch1x1: int
     ch3x3red: int
     ch3x3: int
@@ -131,15 +142,24 @@ class Inception(nn.Module):
     ch5x5: int
     pool_proj: int
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, dilation: int = 1):
         conv = partial(BasicConv2d, dtype=self.dtype)
-        b1 = conv(self.ch1x1, 1, name="branch1")(x, train)
-        b2 = conv(self.ch3x3red, 1, name="branch2_0")(x, train)
+        if self.fused:
+            if train:
+                raise ValueError("fused inception is inference-only")
+            f = conv(self.ch1x1 + self.ch3x3red + self.ch5x5red, 1,
+                     name="fused0")(x, train)
+            c1, c2 = self.ch1x1, self.ch1x1 + self.ch3x3red
+            b1, b2, b3 = f[..., :c1], f[..., c1:c2], f[..., c2:]
+        else:
+            b1 = conv(self.ch1x1, 1, name="branch1")(x, train)
+            b2 = conv(self.ch3x3red, 1, name="branch2_0")(x, train)
+            b3 = conv(self.ch5x5red, 1, name="branch3_0")(x, train)
         b2 = conv(self.ch3x3, 3, padding=1, name="branch2_1")(b2, train,
                                                               dilation)
-        b3 = conv(self.ch5x5red, 1, name="branch3_0")(x, train)
         # kernel 3 (not 5): torchvision weight-compat quirk
         b3 = conv(self.ch5x5, 3, padding=1, name="branch3_1")(b3, train,
                                                               dilation)
@@ -185,6 +205,7 @@ class GoogLeNet(nn.Module):
     dropout: float = 0.2
     dropout_aux: float = 0.7
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False,
@@ -205,7 +226,7 @@ class GoogLeNet(nn.Module):
         position for dense logits.
         """
         conv = partial(BasicConv2d, dtype=self.dtype)
-        inc = partial(Inception, dtype=self.dtype)
+        inc = partial(Inception, dtype=self.dtype, fused=self.fused)
 
         if dilated:
             x = conv(64, 7, strides=2, padding=3, name="conv1")(
@@ -292,3 +313,46 @@ class GoogLeNet(nn.Module):
 def googlenet(num_classes: int = 2, aux_logits: bool = True, **kwargs):
     """Factory (reference: googlenet1.py:278-291)."""
     return GoogLeNet(num_classes=num_classes, aux_logits=aux_logits, **kwargs)
+
+
+def _fuse_block(params):
+    """Concatenate one inception block's three parallel 1x1 conv+BN
+    param sets (branch1, branch2_0, branch3_0 — in the output-channel
+    order Inception slices) into the ``fused0`` layout."""
+    out = {k: v for k, v in params.items()
+           if k not in ("branch1", "branch2_0", "branch3_0")}
+    parts = [params["branch1"], params["branch2_0"], params["branch3_0"]]
+    fused = {}
+    for sub in parts[0]:                          # conv (params) / bn
+        fused[sub] = {k: jnp.concatenate([p[sub][k] for p in parts],
+                                         axis=-1)
+                      for k in parts[0][sub]}
+    out["fused0"] = fused
+    return out
+
+
+def fuse_variables(variables):
+    """Canonical GoogLeNet variables -> the ``fused=True`` layout.
+
+    Per-channel math (1x1 conv dot products, BatchNorm affine/stats) is
+    invariant under output-channel concatenation, so the fused model's
+    outputs match the canonical model's exactly up to accumulation-order
+    rounding. Checkpoints and the torch converter always use the
+    canonical tree; call this at inference-load time.
+    """
+    fused = {}
+    for col, tree in variables.items():           # params / batch_stats
+        fused[col] = {
+            mod: (_fuse_block(sub) if isinstance(sub, dict)
+                  and "branch2_0" in sub else sub)
+            for mod, sub in tree.items()}
+    return fused
+
+
+def fuse_inference(model: GoogLeNet, variables):
+    """(model, canonical variables) -> (fused model, fused variables):
+    the inference-time trunk with each inception's three parallel 1x1
+    convs as one wide conv (one HBM read of the input map, one wide MXU
+    contraction). Use for prediction paths only — training and
+    checkpoints stay canonical."""
+    return model.clone(fused=True), fuse_variables(variables)

@@ -476,3 +476,40 @@ def test_cnn_fast_close_to_exact(small_model, rng):
     assert fast.shape == exact.shape
     # measured 4.2e-3 max / 1.9e-3 mean on this configuration
     assert np.abs(fast - exact).max() < 5e-2
+
+
+def test_fused_inception_matches_canonical(small_model, rng):
+    """fuse_inference: the three parallel 1x1 convs of each inception
+    block as ONE wide conv+BN must reproduce the canonical model
+    (channelwise math is invariant under output-channel concat; only
+    accumulation-order rounding may differ)."""
+    from srcfinder_tpu.models.googlenet import fuse_inference
+    model, variables = small_model
+    mf, vf = fuse_inference(model, variables)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 1)), jnp.float32)
+    ref = np.asarray(model.apply(variables, x, train=False))
+    got = np.asarray(mf.apply(vf, x, train=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # stage-wise path (the phase-FCN driver) and dilated trunk
+    xs = jnp.asarray(rng.normal(size=(1, 24, 24, 192)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(mf.apply(vf, xs, train=False, stage=3)),
+        np.asarray(model.apply(variables, xs, train=False, stage=3)),
+        rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError):
+        mf.apply(vf, x, train=True,
+                 rngs={"dropout": jax.random.PRNGKey(0)},
+                 mutable=["batch_stats"])
+
+
+def test_fused_phase_saliency_matches_canonical(small_model, rng):
+    """The phase-dedup FCN pass with the fused trunk equals the
+    canonical trunk's output to float tolerance."""
+    from srcfinder_tpu.detect.fcn_pipeline import fcn_phase_saliency
+    from srcfinder_tpu.models.googlenet import fuse_inference
+    model, variables = small_model
+    img = jnp.asarray(rng.normal(size=(20, 45)), jnp.float32)
+    ref = np.asarray(fcn_phase_saliency(model, variables, img))
+    mf, vf = fuse_inference(model, variables)
+    got = np.asarray(fcn_phase_saliency(mf, vf, img))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
