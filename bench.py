@@ -71,7 +71,7 @@ def _median_time(run, iters):
 def bench_fcn(out, dtype_name, chunks, iters):
     import jax
     import jax.numpy as jnp
-    from srcfinder_tpu.models.googlenet import googlenet
+    from srcfinder_tpu.models.googlenet import googlenet, fold_inference
     from srcfinder_tpu.detect.fcn_pipeline import fcn_phase_saliency
     from srcfinder_tpu.detect.preprocess import preprocess_ch4, \
         norm_for_model
@@ -85,6 +85,9 @@ def bench_fcn(out, dtype_name, chunks, iters):
                       dtype=dtype)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 1)), train=False)
+    # the shipped inference transform: parallel 1x1 convs widened + BN
+    # folded into conv weights — what every prediction CLI runs
+    model, variables = fold_inference(model, variables)
 
     rng = np.random.default_rng(0)
     band = np.abs(rng.normal(size=(H, W))).astype(np.float32) * 300.0

@@ -106,9 +106,20 @@ def cnn_window_saliency(model: GoogLeNet, variables, img, dim: int = 256,
 
     ``superbatch`` window batches are scanned inside one device dispatch
     (``_cnn_window_scan``); ``superbatch=1`` falls back to the
-    one-dispatch-per-batch host loop. The window index list is padded to
-    a whole number of batches (window (0, 0) recomputed; results
-    discarded) so the scan executable's shape is scene-independent.
+    one-dispatch-per-batch host loop.
+
+    Two dispatch-efficiency properties of the superbatch path:
+
+    - No tail waste: the trailing partial superbatch runs through a
+      second scan executable with ``iters = ceil(rem/batch)`` instead of
+      being padded to a full superbatch — on the benchmark scene that
+      padding recomputed 12% of all window forwards for discarded
+      output. (Only the final partial *batch* still pads, < 0.2%.)
+    - Pipelined dispatch: every scan is dispatched before any result is
+      fetched, so JAX's async queue keeps the device busy back-to-back
+      and the axon-tunnel round-trip latency is paid once, not once per
+      dispatch. Outputs are ~1 MB each; inputs ~2 MB — queueing all of
+      them holds no significant HBM.
     """
     h, w = img.shape
     padded = reference_pad(img, dim)
@@ -133,17 +144,29 @@ def cnn_window_saliency(model: GoogLeNet, variables, img, dim: int = 256,
         return out.reshape(h, w)
 
     stride = batch * superbatch
-    for i in range(0, n, stride):
-        take = min(stride, n - i)
-        r = np.zeros(stride, np.int32)
-        c = np.zeros(stride, np.int32)
-        r[:take] = rows[i:i + take]
-        c[:take] = cols[i:i + take]
-        pr = _cnn_window_scan(model, variables, padded, jnp.asarray(r),
-                              jnp.asarray(c), dim, batch, superbatch)
-        out[i:i + take] = np.asarray(pr)[:take]
+    nfull, rem = divmod(n, stride)
+    plans = [(i * stride, superbatch) for i in range(nfull)]
+    if rem:
+        plans.append((nfull * stride, -(-rem // batch)))
+
+    pending = []
+    for off, iters in plans:
+        span = iters * batch
+        take = min(n - off, span)
+        r = np.zeros(span, np.int32)
+        c = np.zeros(span, np.int32)
+        r[:take] = rows[off:off + take]
+        c[:take] = cols[off:off + take]
+        pending.append((off, take, _cnn_window_scan(
+            model, variables, padded, jnp.asarray(r), jnp.asarray(c),
+            dim, batch, iters)))
+
+    done = 0
+    for off, take, pr in pending:
+        out[off:off + take] = np.asarray(pr)[:take]
+        done += take
         if progress is not None:
-            progress(i + take, n)
+            progress(done, n)
     return out.reshape(h, w)
 
 
@@ -214,16 +237,18 @@ def cnn_saliency_image(img, variables, model_name: str = "COVID_QC",
     """Raw CH4 band -> dense CNN saliency with nodata re-stamped
     (reference: cnn_pred_pipeline.py:170-189).
 
-    ``fused=True`` runs the trunk with each inception's three parallel
-    1x1 convs as one wide conv (models.googlenet.fuse_inference) —
-    measured 9% faster per window batch on the v5e, exact to
+    ``fused=True`` runs the inference-transformed trunk
+    (models.googlenet.fold_inference): each inception's three parallel
+    1x1 convs as one wide conv (measured 9% faster per window batch on
+    the v5e) AND BatchNorm folded into the conv weights (the separate
+    BN elementwise passes were ~18% of device time). Exact to
     accumulation-order rounding."""
     from .preprocess import preprocess_ch4, norm_for_model
-    from ..models.googlenet import fuse_inference
+    from ..models.googlenet import fold_inference
 
     model = model or GoogLeNet(num_classes=2, dtype=dtype)
-    if fused and not model.fused:
-        model, variables = fuse_inference(model, variables)
+    if fused and not (model.fused and model.folded):
+        model, variables = fold_inference(model, variables)
     mean, std = norm_for_model(model_name)
     x = preprocess_ch4(jnp.asarray(img, dtype), mean, std)
     if method == "exact":

@@ -52,7 +52,7 @@ def _run_campaign(args):
     import numpy as np
     import jax.numpy as jnp
     from ..core import envi as envi_io
-    from ..models.googlenet import GoogLeNet
+    from ..models.googlenet import GoogLeNet, fold_inference
     from ..utils.config import default_compile_cache
     from .fcn_pipeline import fcn_phase_saliency_batch
     from .preprocess import preprocess_ch4, norm_for_model
@@ -63,7 +63,8 @@ def _run_campaign(args):
         return 1
     variables = load_weights(args.weights)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = GoogLeNet(num_classes=2, dtype=dtype)
+    model, variables = fold_inference(GoogLeNet(num_classes=2, dtype=dtype),
+                                      variables)
     mean, std = norm_for_model(args.model)
     os.makedirs(args.output or ".", exist_ok=True)
 

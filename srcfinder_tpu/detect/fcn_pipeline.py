@@ -405,8 +405,13 @@ def fcn_saliency_image(img, variables, model_name: str = "multi_64",
     edge bound).
     """
     from .preprocess import preprocess_ch4, norm_for_model
+    from ..models.googlenet import fold_inference
 
     model = model or GoogLeNet(num_classes=2, dtype=dtype)
+    if not (model.fused and model.folded):
+        # inference-time trunk transform: parallel 1x1 convs widened +
+        # BatchNorm folded into the conv weights (models.googlenet)
+        model, variables = fold_inference(model, variables)
     mean, std = norm_for_model(model_name)
     x = preprocess_ch4(jnp.asarray(img, dtype), mean, std)
     if method == "auto":

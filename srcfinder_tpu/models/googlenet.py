@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 __all__ = ["GoogLeNet", "googlenet", "CAMPAIGN_NORM", "clamp_ch4",
-           "fuse_variables", "fuse_inference"]
+           "fuse_variables", "fuse_inference", "fold_variables",
+           "fold_inference"]
 
 #: per-campaign normalization constants
 #: (reference: cnn/cnn_pred_pipeline.py:126-157)
@@ -99,27 +100,38 @@ def trunc_normal_init(std=0.01, lower=-2.0, upper=2.0):
 
 class BasicConv2d(nn.Module):
     """conv(bias=False) + BatchNorm(eps=1e-3) + ReLU
-    (reference: googlenet1.py:266-275)."""
+    (reference: googlenet1.py:266-275).
+
+    ``folded=True`` (inference only): the BatchNorm affine + running
+    stats are pre-folded into the conv kernel/bias
+    (:func:`fold_variables`), so the module is conv(bias)+ReLU and the
+    separate BN elementwise pass over the activation map — a pure
+    HBM-bandwidth cost measured at ~18% of the exact-CNN device time on
+    the v5e — disappears (XLA fuses bias+ReLU into the conv epilogue)."""
     features: int
     kernel_size: int = 1
     strides: int = 1
     padding: int = 0
     dtype: Any = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, dilation: int = 1,
                  stride_one: bool = False):
+        if self.folded and train:
+            raise ValueError("folded BasicConv2d is inference-only")
         strides = 1 if stride_one else self.strides
         x = nn.Conv(self.features,
                     (self.kernel_size, self.kernel_size),
                     strides=(strides, strides),
                     padding=[(self.padding * dilation,) * 2] * 2,
                     kernel_dilation=(dilation, dilation),
-                    use_bias=False,
+                    use_bias=self.folded,
                     kernel_init=trunc_normal_init(),
                     dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
-                         momentum=0.9, dtype=self.dtype, name="bn")(x)
+        if not self.folded:
+            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                             momentum=0.9, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
 
@@ -143,10 +155,11 @@ class Inception(nn.Module):
     pool_proj: int
     dtype: Any = jnp.float32
     fused: bool = False
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, dilation: int = 1):
-        conv = partial(BasicConv2d, dtype=self.dtype)
+        conv = partial(BasicConv2d, dtype=self.dtype, folded=self.folded)
         if self.fused:
             if train:
                 raise ValueError("fused inception is inference-only")
@@ -178,12 +191,14 @@ class InceptionAux(nn.Module):
     num_classes: int
     dropout: float = 0.7
     dtype: Any = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = adaptive_avg_pool2d(x, (4, 4))
         n = x.shape[0]
-        x = BasicConv2d(128, 1, dtype=self.dtype, name="conv")(x, train)
+        x = BasicConv2d(128, 1, dtype=self.dtype, folded=self.folded,
+                        name="conv")(x, train)
         x = x.reshape(n, -1)
         x = nn.relu(nn.Dense(1024, kernel_init=trunc_normal_init(),
                              dtype=self.dtype, name="fc1")(x))
@@ -206,6 +221,7 @@ class GoogLeNet(nn.Module):
     dropout_aux: float = 0.7
     dtype: Any = jnp.float32
     fused: bool = False
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False,
@@ -225,8 +241,9 @@ class GoogLeNet(nn.Module):
         one pass. Returns trunk features (N, H, W, 1024); apply fc per
         position for dense logits.
         """
-        conv = partial(BasicConv2d, dtype=self.dtype)
-        inc = partial(Inception, dtype=self.dtype, fused=self.fused)
+        conv = partial(BasicConv2d, dtype=self.dtype, folded=self.folded)
+        inc = partial(Inception, dtype=self.dtype, fused=self.fused,
+                      folded=self.folded)
 
         if dilated:
             x = conv(64, 7, strides=2, padding=3, name="conv1")(
@@ -356,3 +373,54 @@ def fuse_inference(model: GoogLeNet, variables):
     contraction). Use for prediction paths only — training and
     checkpoints stay canonical."""
     return model.clone(fused=True), fuse_variables(variables)
+
+
+def _fold_conv_bn(conv, bn, stats, eps: float = 1e-3):
+    """conv(bias=False) + BN(affine, running stats) -> conv(kernel', bias').
+
+    kernel' = kernel * scale/sqrt(var+eps) (broadcast over the output-
+    channel axis), bias' = bias_bn - mean*scale/sqrt(var+eps) — the
+    standard inference-time BatchNorm fold, done in f32 (params are
+    stored f32; the cast to the compute dtype happens at apply)."""
+    inv = (bn["scale"].astype(jnp.float32)
+           / jnp.sqrt(stats["var"].astype(jnp.float32) + eps))
+    kernel = conv["kernel"].astype(jnp.float32) * inv
+    bias = (bn["bias"].astype(jnp.float32)
+            - stats["mean"].astype(jnp.float32) * inv)
+    return {"kernel": kernel.astype(conv["kernel"].dtype),
+            "bias": bias.astype(conv["kernel"].dtype)}
+
+
+def _fold_tree(params, stats):
+    """Recursively fold every {conv, bn} BasicConv2d scope in ``params``
+    using the matching running stats subtree."""
+    if "conv" in params and "bn" in params and "kernel" in params["conv"]:
+        out = {k: v for k, v in params.items() if k != "bn"}
+        out["conv"] = _fold_conv_bn(params["conv"], params["bn"],
+                                    stats["bn"])
+        return out
+    return {k: (_fold_tree(v, stats.get(k, {})) if isinstance(v, dict)
+                else v)
+            for k, v in params.items()}
+
+
+def fold_variables(variables):
+    """Canonical (or fused) variables -> the ``folded=True`` layout:
+    BatchNorm folded into each conv's kernel/bias; the ``batch_stats``
+    collection disappears. Algebraically exact; float rounding differs
+    by O(eps) from the unfolded graph."""
+    params = _fold_tree(variables["params"],
+                        variables.get("batch_stats", {}))
+    return {"params": params}
+
+
+def fold_inference(model: GoogLeNet, variables):
+    """(model, canonical variables) -> (folded+fused model, variables):
+    the full inference-time transform — parallel 1x1 convs widened
+    (:func:`fuse_variables`) AND BatchNorm folded into the conv weights
+    (:func:`fold_variables`). On the v5e the separate BN/bias elementwise
+    passes were ~18% of exact-CNN device time (pure HBM traffic);
+    folding removes them across every inference path. Training and
+    checkpoints stay canonical."""
+    return (model.clone(fused=True, folded=True),
+            fold_variables(fuse_variables(variables)))

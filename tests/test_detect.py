@@ -513,3 +513,68 @@ def test_fused_phase_saliency_matches_canonical(small_model, rng):
     mf, vf = fuse_inference(model, variables)
     got = np.asarray(fcn_phase_saliency(mf, vf, img))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_folded_model_matches_canonical(small_model, rng):
+    """fold_inference: BatchNorm folded into the conv kernel/bias (and
+    the parallel 1x1 convs widened) must reproduce the canonical model
+    — the fold is algebraically exact; only float rounding differs."""
+    from srcfinder_tpu.models.googlenet import fold_inference
+    model, variables = small_model
+    mf, vf = fold_inference(model, variables)
+    assert "batch_stats" not in vf           # running stats consumed
+    assert "bn" not in str(jax.tree_util.tree_structure(vf))
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 1)), jnp.float32)
+    ref = np.asarray(model.apply(variables, x, train=False))
+    got = np.asarray(mf.apply(vf, x, train=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+    # stage-wise path (the phase-FCN driver) and the dilated trunk
+    xs = jnp.asarray(rng.normal(size=(1, 24, 24, 192)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(mf.apply(vf, xs, train=False, stage=3)),
+        np.asarray(model.apply(variables, xs, train=False, stage=3)),
+        rtol=1e-4, atol=1e-5)
+    # folded modules are inference-only
+    with pytest.raises(ValueError):
+        mf.apply(vf, x, train=True,
+                 rngs={"dropout": jax.random.PRNGKey(0)})
+
+
+def test_folded_nontrivial_stats_match(small_model, rng):
+    """Folding with non-identity BN statistics (the trained regime:
+    running mean/var far from 0/1, affine far from identity) still
+    matches the canonical model."""
+    from srcfinder_tpu.models.googlenet import fold_inference
+    model, variables = small_model
+    leaves, tree = jax.tree_util.tree_flatten(variables)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    variables = jax.tree_util.tree_unflatten(tree, [
+        l + 0.3 * jax.random.normal(k, l.shape, l.dtype) if l.ndim == 1
+        else l for l, k in zip(leaves, keys)])
+    # variance must stay positive
+    variables = jax.tree_util.tree_map(jnp.abs, variables)
+    mf, vf = fold_inference(model, variables)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 1)), jnp.float32)
+    ref = np.asarray(model.apply(variables, x, train=False))
+    got = np.asarray(mf.apply(vf, x, train=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fcn_saliency_image_folds_internally(small_model, rng):
+    """fcn_saliency_image applies fold_inference itself: its output
+    equals the explicit canonical phase pass."""
+    from srcfinder_tpu.detect.fcn_pipeline import (fcn_saliency_image,
+                                                   fcn_phase_saliency)
+    from srcfinder_tpu.detect.preprocess import preprocess_ch4, \
+        norm_for_model
+    model, variables = small_model
+    band = np.abs(rng.normal(size=(20, 45))).astype(np.float32) * 300.0
+    band[0, :3] = -9999.0
+    mean, std = norm_for_model("multi_64")
+    x = preprocess_ch4(jnp.asarray(band), mean, std)
+    ref = np.asarray(fcn_phase_saliency(model, variables, x))
+    ref = np.where(band == -9999.0, -9999.0, ref)
+    got = np.asarray(fcn_saliency_image(band, variables,
+                                        model_name="multi_64",
+                                        model=model, method="phase"))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
