@@ -230,6 +230,39 @@ def bench_exact_cnn(out, dtype_name, model, variables, band):
 
 
 def main():
+    # host allocator shim first (re-execs once if built): without it the
+    # VM's free page reporting re-faults every recycled GB-scale host
+    # buffer at 1-50 MB/s and the host-path timings (masks, preprocess)
+    # measure the hypervisor, not the framework (SCALING.md)
+    from srcfinder_tpu.utils.config import ensure_alloc_cache
+    ensure_alloc_cache()
+
+    # Watchdog: the remote TPU compile service has been observed to hang
+    # indefinitely (all compiles stalled for hours on 2026-08-17); a
+    # bench that never prints is worse than a partial line. The alarm
+    # budget covers a fully cold compile set (~30-40 min observed) with
+    # slack. Override with SRCFINDER_BENCH_TIMEOUT_S=0 to disable.
+    import signal
+    budget = int(os.environ.get("SRCFINDER_BENCH_TIMEOUT_S", "5400"))
+    if budget > 0:
+        out_ref = {}
+
+        def _bail(signum, frame):
+            out_ref.setdefault(
+                "metric", "fcn_flightline_saliency_throughput")
+            out_ref.setdefault("value", None)
+            out_ref.setdefault("unit", "Mpix/s")
+            out_ref.setdefault("vs_baseline", None)
+            out_ref["error"] = (f"watchdog: no result after {budget}s "
+                                "(TPU compile service unresponsive?)")
+            print(json.dumps(out_ref), flush=True)
+            os._exit(3)
+
+        signal.signal(signal.SIGALRM, _bail)
+        signal.alarm(budget)
+    else:
+        out_ref = {}
+
     import jax
     # persistent compile cache: TPU (remote) compiles dominate cold runs
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -241,7 +274,7 @@ def main():
     iters = int(os.environ.get("SRCFINDER_BENCH_ITERS", "3"))
     full = os.environ.get("SRCFINDER_BENCH_FULL", "1") != "0"
 
-    out = {}
+    out = out_ref
     model, variables, band = bench_fcn(out, dtype_name, chunks, iters)
     if full:
         nsc = int(os.environ.get("SRCFINDER_BENCH_SCENES", "2"))
@@ -258,6 +291,8 @@ def main():
                 fn()
             except Exception as e:   # keep the line printable
                 out[f"{name}_error"] = str(e).split("\n")[0][:200]
+    import signal as _signal
+    _signal.alarm(0)
     print(json.dumps(out))
 
 

@@ -1,0 +1,391 @@
+// Large-allocation cache, LD_PRELOADed into host-heavy processes.
+//
+// Why this exists (measured on the deployment VM, see SCALING.md "Host
+// memory: free page reporting"): the guest kernel runs virtio free page
+// reporting (boot param page_reporting_order=11), which hands freed
+// pages back to the hypervisor in 8 MB chunks; re-faulting a reported
+// page from the host was measured at 1-50 MB/s. glibc unconditionally
+// mmap()s allocations above 32 MB and munmap()s them on free, so every
+// numpy temporary or XLA:CPU buffer in the 100 MB-1 GB class is faulted
+// in from the host again on EVERY allocation cycle: a 2801x669x113 mask
+// pass whose arithmetic is ~7 s was measured at 46-92 s, dominated by
+// page faults re-acquiring memory the process had just released.
+//
+// The shim intercepts malloc/calloc/realloc/free (+ the aligned
+// variants) and, for requests >= SRCFINDER_ALLOC_MIN_MB (default 4),
+// serves them from an in-process cache of mmap'd blocks that are NEVER
+// munmap'd while the cache is under its cap — freed blocks go to a
+// size-bucketed freelist, so their pages stay resident in the guest and
+// are reused warm. Small allocations pass straight through to glibc
+// (__libc_malloc and friends; no dlsym bootstrap needed).
+//
+// Interposition rules that shape the implementation:
+//  - free() sees EVERY pointer in the process, so "is it ours?" must be
+//    answerable without touching glibc and without allocating: a fixed
+//    open-addressed registry (lock-free reads, writes under the mutex).
+//  - Nothing inside the critical sections may malloc or free — a heap-
+//    backed container's node deallocation would re-enter free() and
+//    self-deadlock on the non-recursive mutex. Freelists are intrusive
+//    (next pointers live in the 4 KB block headers); the registry is a
+//    fixed global array.
+//  - The singleton's own construction mallocs (getenv, operator new),
+//    so an atomic init flag routes re-entrant calls to plain glibc.
+//
+// Block layout: [4 KB header | user data], so user pointers stay
+// page-aligned (covers every alignment the stack requests; XLA:CPU
+// asks for 64).
+//
+// Tunables (env):
+//   SRCFINDER_ALLOC_CACHE=0       disable (pure pass-through)
+//   SRCFINDER_ALLOC_MIN_MB=N      interception threshold (default 4)
+//   SRCFINDER_ALLOC_CACHE_GB=N    max bytes parked in the freelist
+//                                 (default 48; beyond it blocks are
+//                                 munmap'd on free)
+//
+// This is a host-runtime component of the framework, not a TPU-path
+// optimization: HBM buffers are unaffected. It exists because the
+// framework's streaming stages (core/prefetch.py, masks/sds.py,
+// cmf/pipeline.py) intentionally recycle GB-scale host blocks, which is
+// exactly the allocation pattern free page reporting punishes.
+
+#include <dlfcn.h>
+#include <sys/mman.h>
+#include <pthread.h>
+#include <string.h>
+#include <stdlib.h>
+#include <stdint.h>
+#include <errno.h>
+
+#include <atomic>
+
+extern "C" {
+void *__libc_malloc(size_t);
+void *__libc_calloc(size_t, size_t);
+void *__libc_realloc(void *, size_t);
+void  __libc_free(void *);
+void *__libc_memalign(size_t, size_t);
+}
+
+namespace {
+
+constexpr size_t kGranule = 2u << 20;     // round block payloads to 2 MB
+constexpr size_t kHeader = 4096;          // keeps user data page-aligned
+constexpr uint64_t kMagic = 0x73726366616c6cULL;  // "srcfall"
+constexpr int kTableBits = 16;            // 65536 registry slots
+constexpr size_t kTableSize = size_t(1) << kTableBits;
+constexpr uintptr_t kTomb = 1;            // deleted-slot sentinel
+constexpr int kBuckets = 16;              // freelist: log2(granules)
+
+struct BlockHeader {
+    uint64_t magic;
+    size_t map_size;       // total mmap length incl. header
+    BlockHeader *next;     // freelist link
+};
+
+// Registry of live user pointers: open addressing, linear probing.
+// Reads are lock-free (free() probes it for every pointer in the
+// process); inserts/removes happen under the mutex.
+std::atomic<uintptr_t> g_table[kTableSize];
+
+struct State {
+    pthread_mutex_t lock = PTHREAD_MUTEX_INITIALIZER;
+    BlockHeader *buckets[kBuckets] = {};   // by log2 of granule count
+    size_t cached = 0;                     // bytes parked in freelists
+    size_t min_bytes = 4u << 20;
+    size_t cap_bytes = 48ull << 30;
+    bool enabled = true;
+};
+
+std::atomic<State *> g_state{nullptr};
+std::atomic<bool> g_initing{false};
+
+void atfork_lock();
+void atfork_unlock();
+
+// Lazily construct the singleton. Construction itself mallocs, and
+// those re-entrant calls MUST NOT recurse into the initializer — the
+// g_initing flag makes them (and any concurrent first caller) fall back
+// to glibc pass-through, which is always safe: nothing can be
+// cache-owned before the state exists. Leaked deliberately: frees
+// arrive during teardown after static destructors have run.
+State *state() {
+    State *s = g_state.load(std::memory_order_acquire);
+    if (s != nullptr) return s;
+    if (g_initing.exchange(true)) return nullptr;
+    State *st = new State();
+    if (const char *v = getenv("SRCFINDER_ALLOC_CACHE"))
+        st->enabled = !(v[0] == '0' && v[1] == '\0');
+    if (const char *v = getenv("SRCFINDER_ALLOC_MIN_MB")) {
+        long mb = atol(v);
+        if (mb > 0) st->min_bytes = (size_t)mb << 20;
+    }
+    if (const char *v = getenv("SRCFINDER_ALLOC_CACHE_GB")) {
+        long gb = atol(v);
+        if (gb >= 0) st->cap_bytes = (size_t)gb << 30;
+    }
+    g_state.store(st, std::memory_order_release);
+    // see atfork_lock below; safe here — only the one thread that won
+    // g_initing reaches this, and the handlers no-op until g_state is set
+    pthread_atfork(atfork_lock, atfork_unlock, atfork_unlock);
+    return st;
+}
+
+inline size_t slot_of(uintptr_t p) {
+    return (size_t)(((p >> 12) * 0x9E3779B97F4A7C15ULL) >>
+                    (64 - kTableBits));
+}
+
+// Lock-free membership probe (callers re-verify under the mutex before
+// mutating). Linear probing, stop at the first never-used slot.
+bool registry_contains(uintptr_t p) {
+    for (size_t i = slot_of(p);; i = (i + 1) & (kTableSize - 1)) {
+        uintptr_t v = g_table[i].load(std::memory_order_acquire);
+        if (v == p) return true;
+        if (v == 0) return false;
+    }
+}
+
+// Under the mutex. Returns false if the table is full (caller then
+// must not serve the block from the cache).
+bool registry_insert(uintptr_t p) {
+    size_t start = slot_of(p);
+    for (size_t n = 0; n < kTableSize; ++n) {
+        size_t i = (start + n) & (kTableSize - 1);
+        uintptr_t v = g_table[i].load(std::memory_order_relaxed);
+        if (v == 0 || v == kTomb) {
+            g_table[i].store(p, std::memory_order_release);
+            return true;
+        }
+    }
+    return false;
+}
+
+// Under the mutex. Returns false if p was not present.
+bool registry_remove(uintptr_t p) {
+    for (size_t i = slot_of(p);; i = (i + 1) & (kTableSize - 1)) {
+        uintptr_t v = g_table[i].load(std::memory_order_relaxed);
+        if (v == p) {
+            g_table[i].store(kTomb, std::memory_order_release);
+            return true;
+        }
+        if (v == 0) return false;
+    }
+}
+
+class Guard {
+  public:
+    explicit Guard(State *s) : s_(s) { pthread_mutex_lock(&s_->lock); }
+    ~Guard() { pthread_mutex_unlock(&s_->lock); }
+
+  private:
+    State *s_;
+};
+
+inline int bucket_of(size_t map_size) {
+    size_t g = map_size / kGranule;       // >= 1
+    int b = 63 - __builtin_clzll(g);      // log2 floor
+    return b < kBuckets ? b : kBuckets - 1;
+}
+
+inline BlockHeader *header_of(void *user) {
+    return reinterpret_cast<BlockHeader *>((char *)user - kHeader);
+}
+
+void *cache_alloc(size_t size) {
+    State *s = state();
+    if (s == nullptr) return nullptr;
+    size_t want = (size + kHeader + kGranule - 1) & ~(kGranule - 1);
+    {
+        Guard g(s);
+        // first fit within the exact bucket and the next one up, but
+        // never a block more than 2x the request — handing a 1 GB
+        // block to a 4 MB ask would strand the rest
+        for (int b = bucket_of(want); b <= bucket_of(want) + 1 &&
+                                      b < kBuckets; ++b) {
+            for (BlockHeader **prev = &s->buckets[b]; *prev;
+                 prev = &(*prev)->next) {
+                BlockHeader *blk = *prev;
+                if (blk->map_size >= want && blk->map_size <= 2 * want) {
+                    *prev = blk->next;
+                    blk->next = nullptr;
+                    s->cached -= blk->map_size;
+                    void *user = (char *)blk + kHeader;
+                    if (!registry_insert((uintptr_t)user)) {
+                        // table full: this block can never be freed
+                        // through the cache — unmap and fall through
+                        munmap(blk, blk->map_size);
+                        return nullptr;
+                    }
+                    return user;
+                }
+            }
+        }
+    }
+    void *m = mmap(nullptr, want, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (m == MAP_FAILED) return nullptr;
+    BlockHeader *blk = reinterpret_cast<BlockHeader *>(m);
+    blk->magic = kMagic;
+    blk->map_size = want;
+    blk->next = nullptr;
+    void *user = (char *)m + kHeader;
+    Guard g(s);
+    if (!registry_insert((uintptr_t)user)) {
+        munmap(m, want);
+        return nullptr;
+    }
+    return user;
+}
+
+// Returns true if ptr belonged to the cache. No allocation inside.
+bool cache_free(void *ptr) {
+    if (!registry_contains((uintptr_t)ptr)) return false;
+    State *s = g_state.load(std::memory_order_acquire);
+    if (s == nullptr) return false;
+    Guard g(s);
+    if (!registry_remove((uintptr_t)ptr)) return false;  // lost a race
+    BlockHeader *blk = header_of(ptr);
+    if (s->cached + blk->map_size <= s->cap_bytes) {
+        int b = bucket_of(blk->map_size);
+        blk->next = s->buckets[b];
+        s->buckets[b] = blk;
+        s->cached += blk->map_size;
+    } else {
+        munmap(blk, blk->map_size);
+    }
+    return true;
+}
+
+// Usable payload size if ptr is cache-owned, else 0.
+size_t cache_size(void *ptr) {
+    if (!registry_contains((uintptr_t)ptr)) return 0;
+    State *s = g_state.load(std::memory_order_acquire);
+    if (s == nullptr) return 0;
+    Guard g(s);
+    if (!registry_contains((uintptr_t)ptr)) return 0;
+    BlockHeader *blk = header_of(ptr);
+    if (blk->magic != kMagic) return 0;
+    return blk->map_size - kHeader;
+}
+
+// fork() while another thread holds the allocator mutex would leave the
+// child's copy locked forever (Python multiprocessing defaults to fork
+// on Linux, and the framework mixes it with prefetch threads). Classic
+// atfork protocol: take the lock across fork, release it on both sides.
+// Registered lazily from state() — before the state exists nothing can
+// hold the lock.
+void atfork_lock() {
+    if (State *s = g_state.load(std::memory_order_acquire))
+        pthread_mutex_lock(&s->lock);
+}
+void atfork_unlock() {
+    if (State *s = g_state.load(std::memory_order_acquire))
+        pthread_mutex_unlock(&s->lock);
+}
+
+bool use_cache(size_t size) {
+    State *s = g_state.load(std::memory_order_acquire);
+    if (s == nullptr) {
+        if (size < (4u << 20)) return false;  // below any threshold
+        s = state();
+        if (s == nullptr) return false;       // init in progress
+    }
+    return s->enabled && size >= s->min_bytes;
+}
+
+}  // namespace
+
+extern "C" {
+
+void *malloc(size_t size) {
+    if (use_cache(size)) {
+        if (void *p = cache_alloc(size)) return p;
+    }
+    return __libc_malloc(size);
+}
+
+void *calloc(size_t n, size_t elem) {
+    size_t size;
+    if (__builtin_mul_overflow(n, elem, &size)) {
+        errno = ENOMEM;
+        return nullptr;
+    }
+    if (use_cache(size)) {
+        if (void *p = cache_alloc(size)) {
+            memset(p, 0, size);  // reused blocks carry stale contents
+            return p;
+        }
+    }
+    return __libc_calloc(n, elem);
+}
+
+void free(void *ptr) {
+    if (ptr == nullptr) return;
+    if (!cache_free(ptr)) __libc_free(ptr);
+}
+
+void *realloc(void *ptr, size_t size) {
+    if (ptr == nullptr) return malloc(size);
+    if (size == 0) {
+        free(ptr);
+        return nullptr;
+    }
+    size_t have = cache_size(ptr);
+    if (have) {
+        if (size <= have) return ptr;     // still fits the block
+        void *p = malloc(size);
+        if (p == nullptr) return nullptr;
+        memcpy(p, ptr, have);
+        cache_free(ptr);
+        return p;
+    }
+    // Not ours: glibc must size the copy, so it must do the realloc.
+    // (A grown result >= threshold stays outside the cache until its
+    // next alloc/free cycle — acceptable; realloc of GB blocks is rare
+    // in this stack.)
+    return __libc_realloc(ptr, size);
+}
+
+// glibc's malloc_usable_size reads its own chunk header below the user
+// pointer; for cache-owned blocks that memory is our BlockHeader, so it
+// must be answered here (callers like jemalloc-backed stacks and
+// OpenBLAS probe it on arbitrary pointers). Resolved lazily via dlsym
+// (RTLD_NEXT = the next malloc_usable_size after this preload, i.e.
+// glibc's); dlsym may malloc on first use, which is re-entrancy-safe
+// here (we hold no lock and our malloc passes small asks to glibc).
+size_t malloc_usable_size(void *ptr) {
+    if (ptr == nullptr) return 0;
+    if (size_t have = cache_size(ptr)) return have;
+    static std::atomic<void *> next{nullptr};
+    void *fn = next.load(std::memory_order_acquire);
+    if (fn == nullptr) {
+        fn = dlsym(RTLD_NEXT, "malloc_usable_size");
+        if (fn == nullptr) return 0;
+        next.store(fn, std::memory_order_release);
+    }
+    return reinterpret_cast<size_t (*)(void *)>(fn)(ptr);
+}
+
+void *memalign(size_t align, size_t size) {
+    // cache blocks are page-aligned
+    if (use_cache(size) && align <= 4096 &&
+        (align & (align - 1)) == 0) {
+        if (void *p = cache_alloc(size)) return p;
+    }
+    return __libc_memalign(align, size);
+}
+
+void *aligned_alloc(size_t align, size_t size) {
+    return memalign(align, size);
+}
+
+int posix_memalign(void **out, size_t align, size_t size) {
+    if (align < sizeof(void *) || (align & (align - 1)) != 0)
+        return EINVAL;
+    void *p = memalign(align, size);
+    if (p == nullptr) return ENOMEM;
+    *out = p;
+    return 0;
+}
+
+}  // extern "C"

@@ -115,6 +115,9 @@ def _run(args, saliency_fn):
 
 
 def main(argv=None):
+    if argv is None:  # owning the process: allow the re-exec
+        from ..utils.config import ensure_alloc_cache
+        ensure_alloc_cache()
     args = build_parser().parse_args(argv)
     from .cnn_pipeline import cnn_saliency_image
 

@@ -26,6 +26,9 @@ def build_parser():
 
 
 def main(argv=None):
+    if argv is None:  # owning the process: allow the re-exec
+        from ..utils.config import ensure_alloc_cache
+        ensure_alloc_cache()
     import numpy as np
     from ..core import envi as envi_io
     from ..core.geo import mapinfo

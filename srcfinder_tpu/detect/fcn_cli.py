@@ -108,6 +108,9 @@ def _run_campaign(args):
 
 
 def main(argv=None):
+    if argv is None:  # owning the process: allow the re-exec
+        from ..utils.config import ensure_alloc_cache
+        ensure_alloc_cache()
     args = build_parser().parse_args(argv)
     if len(args.flightline) > 1:
         if args.method not in ("auto", "phase") or args.scale != 32:

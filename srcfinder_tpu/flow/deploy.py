@@ -260,6 +260,9 @@ def main(argv=None):
     """``srcfinder-jobs`` — run the declarative job map over a watched
     directory (the local stand-in for the reference's S3-event ->
     Lambda/Batch wiring)."""
+    if argv is None:  # owning the process: allow the re-exec
+        from ..utils.config import ensure_alloc_cache
+        ensure_alloc_cache()
     import argparse
 
     p = argparse.ArgumentParser(

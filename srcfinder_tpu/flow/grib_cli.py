@@ -17,6 +17,9 @@ import sys
 
 
 def main(argv=None):
+    if argv is None:  # owning the process: allow the re-exec
+        from ..utils.config import ensure_alloc_cache
+        ensure_alloc_cache()
     import numpy as np
     from .windgrid import read_wind_grid, write_wind_grid_npz
 

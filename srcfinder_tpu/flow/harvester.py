@@ -182,6 +182,9 @@ def wind_quality_check(path, alert=None):
 def main(argv=None):
     """``srcfinder-harvest`` — the harvester CLI (reference flags:
     harvest.py:16-25 -ds/-b/-s/-e/-n)."""
+    if argv is None:  # owning the process: allow the re-exec
+        from ..utils.config import ensure_alloc_cache
+        ensure_alloc_cache()
     import argparse
 
     p = argparse.ArgumentParser(description="Config-driven wind-granule "

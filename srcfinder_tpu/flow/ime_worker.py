@@ -194,6 +194,9 @@ def merge_ime_into_plumelist(plume_df, ime_df, radius_m=150.0):
 def main(argv=None):
     """``srcfinder-ime`` — the compute-ime Batch job surface (parameter
     names follow deployment/compute-ime/invoke-ime:21-33)."""
+    if argv is None:  # owning the process: allow the re-exec
+        from ..utils.config import ensure_alloc_cache
+        ensure_alloc_cache()
     import argparse
 
     p = argparse.ArgumentParser(

@@ -140,6 +140,9 @@ def insert_plumes_in_file(plumes, fname, sort_by_key=None, logger=None):
 def main(argv=None):
     """CLI (reference: msf_flow.py:269-368): -p PLUMEDIR -w WINDIR -o OUT
     [-n NPROCS] [--fill FILL] [--regex REGEX] [--flmode FILE] [--force]."""
+    if argv is None:  # owning the process: allow the re-exec
+        from ..utils.config import ensure_alloc_cache
+        ensure_alloc_cache()
     import argparse
     parser = argparse.ArgumentParser(description="MSF plume workflow (TPU)")
     parser.add_argument("-p", "--plume_dir", required=False,

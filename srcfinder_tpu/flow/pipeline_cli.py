@@ -313,6 +313,9 @@ def build_parser():
 
 
 def main(argv=None):
+    if argv is None:  # owning the process: allow the re-exec
+        from ..utils.config import ensure_alloc_cache
+        ensure_alloc_cache()
     from ..utils import default_compile_cache
 
     args = build_parser().parse_args(argv)

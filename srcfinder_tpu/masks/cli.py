@@ -170,6 +170,9 @@ def masks_for_flightline(rdn_path: str, outpath: str, *,
 
 
 def main(argv=None):
+    if argv is None:  # owning the process: allow the re-exec
+        from ..utils.config import ensure_alloc_cache
+        ensure_alloc_cache()
     from ..utils.config import default_compile_cache
     default_compile_cache()
 

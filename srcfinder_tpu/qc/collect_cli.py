@@ -13,6 +13,9 @@ import sys
 
 
 def main(argv=None):
+    if argv is None:  # owning the process: allow the re-exec
+        from ..utils.config import ensure_alloc_cache
+        ensure_alloc_cache()
     from .collect import collect_qcdata
 
     p = argparse.ArgumentParser(description="Collect + merge QC labels")

@@ -560,6 +560,9 @@ class QcWebApp:
 def main(argv=None):
     """CLI (reference: cmftagger.py argparse surface: --port, user/paths
     from config/settings.json)."""
+    if argv is None:  # owning the process: allow the re-exec
+        from ..utils.config import ensure_alloc_cache
+        ensure_alloc_cache()
     import argparse
     from .session import load_settings
 

@@ -38,6 +38,9 @@ def build_parser():
 
 
 def main(argv=None):
+    if argv is None:  # owning the process: allow the re-exec
+        from ..utils.config import ensure_alloc_cache
+        ensure_alloc_cache()
     args = build_parser().parse_args(argv)
     from .train import TrainConfig, train_experiment
     cfg = TrainConfig(args.dataroot, args.campaign, lr=args.lr,

@@ -28,6 +28,9 @@ def build_parser():
 
 
 def main(argv=None):
+    if argv is None:  # owning the process: allow the re-exec
+        from ..utils.config import ensure_alloc_cache
+        ensure_alloc_cache()
     import numpy as np
     from ..utils.config import default_compile_cache
     from .profile import profile_files

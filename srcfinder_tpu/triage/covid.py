@@ -172,6 +172,9 @@ def run_covid_oracle(curated, stats_dir, cmf_dir=None, nadj_col=3,
 
 
 def main(argv=None):
+    if argv is None:  # owning the process: allow the re-exec
+        from ..utils.config import ensure_alloc_cache
+        ensure_alloc_cache()
     import argparse
     from ..utils import default_compile_cache
 

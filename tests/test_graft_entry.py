@@ -31,12 +31,16 @@ def test_dryrun_multichip_after_backend_init():
     first), dryrun_multichip must still succeed via its subprocess path."""
     code = (
         "import __graft_entry__ as g\n"
-        "import jax; jax.devices()  # force ambient backend creation\n"
+        # Simulate the worst case: ambient platform with too few devices.
+        # Pinned via the config API — this box IGNORES the JAX_PLATFORMS
+        # env var (CLAUDE.md), so an env pin would silently initialize
+        # the axon TPU backend instead and hang the suite whenever the
+        # tunnel is down (observed 2026-08-18).
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.devices()  # force ambient backend creation\n"
         "g.dryrun_multichip(8)\n"
     )
     env = _clean_env()
-    # Simulate the worst case: ambient platform with too few devices.
-    env["JAX_PLATFORMS"] = "cpu"
     res = subprocess.run([sys.executable, "-c", code], cwd=REPO,
                          env=env, capture_output=True, text=True,
                          timeout=1800)

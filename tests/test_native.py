@@ -43,3 +43,198 @@ def test_label8_edge_cases():
     assert ones.max() == 1 and (ones == 1).all()
     diag = np.eye(6, dtype=bool)
     assert native.label8(diag).max() == 1  # 8-connectivity joins diagonal
+
+
+# ---------------------------------------------------------------------------
+# _alloccache: the LD_PRELOAD large-allocation cache (native/alloccache.cpp)
+# ---------------------------------------------------------------------------
+
+def _alloccache_so():
+    from srcfinder_tpu.utils.config import find_alloc_cache_so
+    return find_alloc_cache_so()
+
+
+def _run_shimmed(code: str) -> str:
+    """Run ``code`` in a subprocess with the shim preloaded; return
+    stdout. The shim must never be loaded into the test process itself
+    (ensure_alloc_cache re-execs only when owning the process)."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ, LD_PRELOAD=_alloccache_so(),
+               SRCFINDER_ALLOC_MIN_MB="4")
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    return res.stdout
+
+
+def test_alloccache_numpy_correctness():
+    """Alloc/free/reuse cycles through the cache preserve numpy
+    semantics: values survive, calloc'd arrays are zero even when the
+    block is a stale reuse, realloc copies."""
+    if _alloccache_so() is None:
+        import pytest
+        pytest.skip("shim not built")
+    out = _run_shimmed(
+        "import numpy as np\n"
+        "a = np.arange(3_000_000, dtype=np.float64)\n"       # 24 MB cached
+        "assert a[1_234_567] == 1_234_567 and a[-1] == 2_999_999\n"
+        "s1 = a.sum()\n"
+        "del a\n"
+        "c = np.zeros(3_000_000)\n"   # calloc reusing a's dirty block
+        "assert c.sum() == 0.0\n"
+        "r = np.full(1_000_000, 7.0)\n"                      # 8 MB cached
+        "r.resize(4_000_000, refcheck=False)\n"              # realloc grow
+        "assert r[999_999] == 7.0 and r[1_000_000] == 0.0\n"
+        "b = np.arange(3_000_000, dtype=np.float64)\n"       # reuse again
+        "assert b.sum() == s1\n"
+        "print('OK', flush=True)\n")
+    assert "OK" in out
+
+
+def test_alloccache_reuse_and_threads():
+    """Freed blocks are actually reused (same pointer comes back) and
+    the cache survives a multi-threaded alloc/free storm."""
+    if _alloccache_so() is None:
+        import pytest
+        pytest.skip("shim not built")
+    out = _run_shimmed(
+        "import numpy as np, threading\n"
+        "a = np.empty(8_000_000, np.float64)\n"
+        "p1 = a.ctypes.data\n"
+        "del a\n"
+        "b = np.empty(8_000_000, np.float64)\n"
+        "print('reused', b.ctypes.data == p1, flush=True)\n"
+        "errs = []\n"
+        "def storm(seed):\n"
+        "    rng = np.random.default_rng(seed)\n"
+        "    try:\n"
+        "        for _ in range(30):\n"
+        "            n = int(rng.integers(1_000_000, 4_000_000))\n"
+        "            x = np.full(n, float(seed))\n"
+        "            if not (x[0] == seed and x[-1] == seed):\n"
+        "                errs.append('corrupt')\n"
+        "            del x\n"
+        "    except Exception as e:\n"
+        "        errs.append(repr(e))\n"
+        "ts = [threading.Thread(target=storm, args=(i,)) for i in range(8)]\n"
+        "[t.start() for t in ts]; [t.join() for t in ts]\n"
+        "assert not errs, errs[:3]\n"
+        "print('THREADS_OK', flush=True)\n")
+    assert "reused True" in out
+    assert "THREADS_OK" in out
+
+
+def test_alloccache_jax_cpu_parity():
+    """A jitted jax-CPU reduction returns identical results with and
+    without the shim (XLA:CPU allocates its buffers through malloc)."""
+    if _alloccache_so() is None:
+        import pytest
+        pytest.skip("shim not built")
+    code = (
+        "import jax, numpy as np\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import jax.numpy as jnp\n"
+        "x = jnp.asarray(np.arange(6_000_000, dtype=np.float32))\n"
+        "y = jax.jit(lambda a: (a * 2 + 1).sum())(x)\n"
+        "print('SUM', float(y), flush=True)\n")
+    shimmed = _run_shimmed(code)
+    import subprocess
+    import sys
+    plain = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=600)
+    assert plain.returncode == 0, plain.stderr[-2000:]
+    assert shimmed.strip().splitlines()[-1] == \
+        plain.stdout.strip().splitlines()[-1]
+
+
+def test_ensure_alloc_cache_no_reexec_in_process():
+    """ensure_alloc_cache must never re-exec when the shim is reported
+    active or disabled — and a test process (argv passed to CLI mains)
+    never calls it at all; here we only exercise the guards."""
+    import os
+    from srcfinder_tpu.utils.config import ensure_alloc_cache
+    # "already active" wins over "disabled" (neither re-execs), so the
+    # disabled->False branch is only observable when the test process
+    # itself is not running under the shim (e.g. plain `pytest` without
+    # the documented LD_PRELOAD).
+    active = "_alloccache" in os.environ.get("LD_PRELOAD", "")
+    old = os.environ.get("SRCFINDER_ALLOC_CACHE")
+    try:
+        os.environ["SRCFINDER_ALLOC_CACHE"] = "0"
+        assert ensure_alloc_cache() is (True if active else False)
+    finally:
+        if old is None:
+            os.environ.pop("SRCFINDER_ALLOC_CACHE", None)
+        else:
+            os.environ["SRCFINDER_ALLOC_CACHE"] = old
+    old_pre = os.environ.get("LD_PRELOAD")
+    try:
+        os.environ["LD_PRELOAD"] = "/x/_alloccache.so"
+        assert ensure_alloc_cache() is True       # already active
+    finally:
+        if old_pre is None:
+            os.environ.pop("LD_PRELOAD", None)
+        else:
+            os.environ["LD_PRELOAD"] = old_pre
+
+
+def test_alloccache_malloc_usable_size():
+    """malloc_usable_size must answer for cache-owned pointers from the
+    shim's own metadata (glibc's would read our BlockHeader as a chunk
+    header) and still forward for glibc-owned pointers."""
+    if _alloccache_so() is None:
+        import pytest
+        pytest.skip("shim not built")
+    out = _run_shimmed(
+        "import ctypes, ctypes.util\n"
+        "libc = ctypes.CDLL(None, use_errno=True)\n"
+        "libc.malloc.restype = ctypes.c_void_p\n"
+        "libc.malloc.argtypes = [ctypes.c_size_t]\n"
+        "libc.malloc_usable_size.restype = ctypes.c_size_t\n"
+        "libc.malloc_usable_size.argtypes = [ctypes.c_void_p]\n"
+        "libc.free.argtypes = [ctypes.c_void_p]\n"
+        "big = libc.malloc(8 << 20)\n"       # cache-owned (>= 4 MB)\n"
+        "small = libc.malloc(64)\n"          # glibc-owned\n"
+        "ub = libc.malloc_usable_size(big)\n"
+        "us = libc.malloc_usable_size(small)\n"
+        "assert ub >= (8 << 20), ub\n"
+        "assert 64 <= us < (1 << 20), us\n"
+        "libc.free(big); libc.free(small)\n"
+        "print('USABLE_OK', ub, us, flush=True)\n")
+    assert "USABLE_OK" in out
+
+
+def test_alloccache_fork_while_threads_allocate():
+    """fork() racing a thread inside the allocator must not deadlock the
+    child (native/alloccache.cpp registers pthread_atfork handlers that
+    take the cache mutex across fork). Python multiprocessing defaults
+    to fork on Linux and the framework mixes it with prefetch threads."""
+    if _alloccache_so() is None:
+        import pytest
+        pytest.skip("shim not built")
+    out = _run_shimmed(
+        "import numpy as np, threading, multiprocessing as mp\n"
+        "stop = False\n"
+        "def churn():\n"
+        "    while not stop:\n"
+        "        x = np.empty(2_000_000, np.float64)  # 16 MB via the cache\n"
+        "        del x\n"
+        "ts = [threading.Thread(target=churn) for _ in range(4)]\n"
+        "[t.start() for t in ts]\n"
+        "def child(q):\n"
+        "    a = np.full(2_000_000, 3.0)  # child allocs through the cache\n"
+        "    q.put(float(a.sum()))\n"
+        "ctx = mp.get_context('fork')\n"
+        "for _ in range(10):\n"
+        "    q = ctx.Queue()\n"
+        "    p = ctx.Process(target=child, args=(q,))\n"
+        "    p.start()\n"
+        "    assert q.get(timeout=120) == 6_000_000.0\n"
+        "    p.join(120)\n"
+        "    assert p.exitcode == 0\n"
+        "stop = True\n"
+        "[t.join() for t in ts]\n"
+        "print('FORK_OK', flush=True)\n")
+    assert "FORK_OK" in out

@@ -270,3 +270,45 @@ def test_webapp_view_endpoint(app):
     png = _get(app_, f"/img?fl={name}&layers=rgb,cmf"
                      f"&x0={v[0]}&y0={v[1]}&x1={v[2]}&y1={v[3]}")
     assert png[:4] == b"\x89PNG"
+
+
+def test_page_js_server_contract():
+    """Static contract between the page's JS and the server handlers
+    (no JS engine exists in this env, so drift is caught structurally):
+    every endpoint the script fetches must be routed by the handler, and
+    the payload field names the JS posts must be exactly the keys the
+    server reads (click_to_pixel / view_math / add / relabel / delete)."""
+    import re
+    from srcfinder_tpu.qc import webapp as W
+
+    src = W._PAGE
+    js = src[src.index("<script>"):src.rindex("</script>")]
+    handler_src = open(W.__file__).read()
+
+    # 1. every fetched endpoint is routed server-side
+    endpoints = set(re.findall(r"j\('(/[a-z/]+)[?']", js))
+    endpoints |= set(re.findall(r"'(/img)\?", js))
+    assert endpoints, "no endpoints parsed from the page JS"
+    for ep in endpoints:
+        assert f'"{ep}"' in handler_src, f"JS fetches unrouted {ep}"
+
+    # 2. the raw-click payload carries exactly what click_to_pixel needs
+    add = re.search(r"/api/add.*?\{(.*?)\}\)\}", js, re.S).group(1)
+    for key in ("fl", "view", "dims", "offx", "offy", "imgw", "imgh",
+                "label"):
+        assert re.search(rf"\b{key}:", add), f"addCand payload lost {key}"
+    # offsets come from the DOM event, sizes from the rendered img tag
+    assert "offx:e.offsetX" in add and "offy:e.offsetY" in add
+    assert "imgw:img.width" in add and "imgh:img.height" in add
+
+    # 3. view ops posted by the buttons are the ones view_math implements
+    for op, args in (("zoom", "f:f"), ("pan", "dx:dx,dy:dy"),
+                     ("zoomTo", "x:x,y:y")):
+        assert re.search(rf"op:'{op}',{args}", js.replace(" ", "")), \
+            f"JS no longer posts op={op} with {args}"
+    # and setView always threads the current view + dims state through
+    assert "Object.assign({view:view,dims:dims},body)" in js.replace(" ", "")
+
+    # 4. no coordinate math may creep back into the JS: the page must not
+    # compute pixel positions client-side (the round-2 weak spot)
+    assert "naturalWidth" not in js and "Math.floor" not in js
