@@ -146,13 +146,14 @@ def _stage_all_phases(model: GoogLeNet, variables, feats, fill, stage: int,
     map in ``feats`` (N, h, w, c) -> (4N, h', w', c'); output index =
     parent*4 + (dt*2 + dl)."""
     def per_map(f):
-        outs = []
-        for dt in (0, 1):
-            for dl in (0, 1):
-                outs.append(model.apply(
-                    variables, _translate01(f, dt, dl, fill)[None],
-                    train=False, stage=stage)[0])
-        return jnp.stack(outs)                       # (4, h', w', c')
+        # all 4 translates as ONE conv batch (order (dt,dl) = (0,0),
+        # (0,1),(1,0),(1,1)): 4x wider MXU batches and 4x fewer ops per
+        # scan step than one apply per translate, bit-identical per
+        # example (the conv's per-output reduction is per-sample)
+        fin = jnp.stack([_translate01(f, dt, dl, fill)
+                         for dt in (0, 1) for dl in (0, 1)])
+        return model.apply(variables, fin, train=False,
+                           stage=stage)               # (4, h', w', c')
 
     out = jax.lax.map(per_map, feats, batch_size=chunk)
     return out.reshape((-1,) + out.shape[2:])
