@@ -231,6 +231,26 @@ def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
 
     from ..core.native import HAVE_NATIVE, bil_window_to_lcb
 
+    if pre_active is None and img.interleave in ("bil", "bsq"):
+        # Standalone pass: pull the active-band slab (+ RGB window) into
+        # RAM up front through core.directio — on the deployment VM a
+        # cold memmap read of the active window runs at 13 MB/s (page-
+        # cache re-fault tax) vs 640 MB/s via O_DIRECT (SCALING.md
+        # "Host I/O"). The column loop then slices RAM, exactly like the
+        # fused-pipeline preloaded path.
+        try:
+            raw = img.read_band_window(active[0] - 1, active[1])
+            pre_active = raw.transpose(0, 2, 1)    # (L, C, AB) view
+            if rgb_bands:
+                lo, hi = min(rgb_bands), max(rgb_bands) + 1
+                win = img.read_band_window(lo, hi)
+                pre_rgb = np.stack([win[:, bi - lo, :]
+                                    for bi in rgb_bands], axis=-1)
+        except (OSError, ValueError) as e:
+            print(f"[WARN] direct-IO preload failed ({e}); "
+                  "falling back to memmap reads")
+            pre_active = pre_rgb = None
+
     def read_block(bi):
         c0 = bi * col_chunk
         c1 = min(ncols, c0 + col_chunk)

@@ -210,6 +210,95 @@ class EnviImage:
             return mm.transpose(_to_bip_axes(self.interleave))
         raise ValueError(f"unsupported interleave request: {interleave}")
 
+    # ---- O_DIRECT fast paths ---------------------------------------
+    # Replace the memmap reads of the streaming stages: on the
+    # deployment VM a COLD page-cache read runs at 13 MB/s (virtio free
+    # page reporting re-fault tax, SCALING.md "Host I/O") while the same
+    # read via O_DIRECT runs at 640 MB/s. Both helpers fall back to the
+    # memmap path whenever direct IO is unavailable.
+
+    def _direct(self):
+        if getattr(self, "_df", None) is None:
+            from .directio import DirectFile
+            self._df = DirectFile(self.img_file)
+        return self._df
+
+    def read_lines(self, r0: int, r1: int) -> np.ndarray:
+        """Line block [r0, r1) as a (rows, samples, bands) array
+        (a transpose view for BIL sources — materialize as needed).
+        The streaming masks read (reference: masks_sds.py:289-296)."""
+        item = self.dtype.itemsize
+        if (self.interleave in ("bil", "bip") and self.offset % item == 0
+                and 0 <= r0 <= r1 <= self.nrows):
+            lb = self.ncols * self.nbands * item
+            buf = self._direct().read_range(self.offset + r0 * lb,
+                                            (r1 - r0) * lb)
+            arr = buf.view(self.dtype)
+            if self.interleave == "bil":
+                return arr.reshape(r1 - r0, self.nbands,
+                                   self.ncols).transpose(0, 2, 1)
+            return arr.reshape(r1 - r0, self.ncols, self.nbands)
+        return np.asarray(self.open_memmap(interleave="bip")[r0:r1])
+
+    def read_band_window(self, b0: int, b1: int) -> np.ndarray:
+        """Bands [b0, b1) of every line as (lines, b1-b0, samples) —
+        the CMF's active-window read (reference: robust_mf.py:297-298
+        reads ``img_mm[:, active[0]-1:active[1], col]`` of a BIL cube).
+        One contiguous extent per line for BIL; one extent total for
+        BSQ."""
+        item = self.dtype.itemsize
+        nb = b1 - b0
+        if self.interleave == "bil" and self.offset % item == 0:
+            lb = self.nbands * self.ncols * item
+            ext = nb * self.ncols * item
+            offs = [self.offset + li * lb + b0 * self.ncols * item
+                    for li in range(self.nrows)]
+            buf = self._direct().read_strided(offs, ext)
+            return buf.view(self.dtype).reshape(self.nrows, nb, self.ncols)
+        if self.interleave == "bsq" and self.offset % item == 0:
+            plane = self.nrows * self.ncols * item
+            buf = self._direct().read_range(self.offset + b0 * plane,
+                                            nb * plane)
+            return (buf.view(self.dtype)
+                    .reshape(nb, self.nrows, self.ncols)
+                    .transpose(1, 0, 2))
+        bip = self.open_memmap(interleave="bip")
+        return np.ascontiguousarray(
+            np.asarray(bip[:, :, b0:b1]).transpose(0, 2, 1))
+
+    def read_lines_bands(self, r0: int, r1: int, bands) -> np.ndarray:
+        """Band subset of line block [r0, r1) as (rows, samples,
+        len(bands)) — ``bands`` must be sorted unique absolute indices.
+        For BIL sources only the requested bands' byte runs are read
+        (one extent per contiguous band run per line); the full-line
+        read of the masks stage wasted 80% of its disk bytes AND the
+        first-touch page cost of the discarded bands' buffers."""
+        bands = [int(b) for b in bands]
+        item = self.dtype.itemsize
+        nbsel = len(bands)
+        if (self.interleave == "bil" and self.offset % item == 0
+                and nbsel and 0 <= r0 <= r1 <= self.nrows):
+            rows = r1 - r0
+            out = np.empty((rows, nbsel, self.ncols), self.dtype)
+            lb = self.nbands * self.ncols * item
+            df = self._direct()
+            i = 0
+            while i < nbsel:           # coalesce into contiguous runs
+                j = i + 1
+                while j < nbsel and bands[j] == bands[j - 1] + 1:
+                    j += 1
+                b0, nb = bands[i], j - i
+                ext = nb * self.ncols * item
+                offs = [self.offset + li * lb + b0 * self.ncols * item
+                        for li in range(r0, r1)]
+                buf = df.read_strided(offs, ext)
+                out[:, i:j, :] = buf.view(self.dtype).reshape(
+                    rows, nb, self.ncols)
+                i = j
+            return out.transpose(0, 2, 1)
+        bip = self.open_memmap(interleave="bip")
+        return np.asarray(bip[r0:r1][:, :, bands])
+
     def read_subregion(self, row_bounds, col_bounds=None):
         """Read a (rows, cols, bands) block (reference: masks_sds.py:296)."""
         r0, r1 = row_bounds

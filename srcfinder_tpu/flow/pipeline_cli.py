@@ -126,14 +126,20 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
             slab = np.empty((L, C, a1 - a0), np.float32)
             rgb = np.empty((L, C, 3), np.float32)
 
-            def tap(r0, r1, blk):
-                slab[r0:r1] = blk[:, :, a0:a1]
-                rgb[r0:r1] = blk[:, :, list(rgb_bands)]
+            def tap(r0, r1, blk, pos):
+                # active range stays a contiguous run inside the union
+                # band list, so positions pos[a0]..pos[a1-1] are
+                # consecutive (masks/cli.read_block_bands)
+                p0 = pos[a0]
+                slab[r0:r1] = blk[:, :, p0:p0 + (a1 - a0)]
+                rgb[r0:r1] = blk[:, :, [pos[b] for b in rgb_bands]]
 
             try:
                 masks_for_flightline(radiance, outdir,
                                      out_name=mskname + ".part",
-                                     device=_host_device(), tap=tap)
+                                     device=_host_device(), tap=tap,
+                                     tap_bands=(list(range(a0, a1))
+                                                + list(rgb_bands)))
             except (ValueError, RuntimeError) as e:
                 # no wavelength metadata / no meter map-info for the grow
                 # radii: masks are a skippable QC add-on — the detection

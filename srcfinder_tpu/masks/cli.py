@@ -108,17 +108,22 @@ def masks_for_flightline(rdn_path: str, outpath: str, *,
                          dark_threshold=0.104, cldbfr="150m",
                          maskgrowradius="150m", mingrowarea=5,
                          block_step=500, vis_thr=9.0, device=None,
-                         overwrite=True, out_name=None, tap=None):
+                         overwrite=True, out_name=None, tap=None,
+                         tap_bands=None):
     """Generate the 4-band QC mask for one radiance flightline (the masks
     CLI's per-scene core, reusable by the one-command pipeline). Returns
     the output image basename. Band indices are resolved from the
     header's wavelength list (reference hardcodes the AVIRIS-NG band
     numbers, masks_sds.py:49-59).
 
-    ``tap(r0, r1, block)``: optional observer of every streamed line
-    block (materialized float32, all bands) — lets the fused pipeline
-    capture the CMF's active-band slab during THIS read so the radiance
-    cube is touched once end-to-end."""
+    ``tap(r0, r1, block, pos)``: optional observer of every streamed
+    line block — lets the fused pipeline capture the CMF's active-band
+    slab during THIS read so the radiance cube is touched once
+    end-to-end. ``block`` is (rows, cols, len(req)) float32 holding the
+    union of the masks' needed bands, band 0 (nodata), and
+    ``tap_bands``; ``pos`` maps absolute band index -> position in
+    ``block``'s last axis. Only those bands' byte runs are read from
+    disk (core.directio)."""
     import numpy as np
     from ..core import envi as envi_io
     from .sds import MaskParams, masks_for_cube, get_radius_in_pixels
@@ -129,22 +134,32 @@ def masks_for_flightline(rdn_path: str, outpath: str, *,
         saturationwindow=saturationwindow, cld_threshold=cld_threshold,
         cldbands=cldbands, dark_threshold=dark_threshold, cldbfr=cldbfr,
         maskgrowradius=maskgrowradius, vis_thr=vis_thr)
-    bip = rdn.open_memmap(interleave="bip")
     # nodata collected during the streaming read (no separate full-band
-    # pre-read of the cube); overlap re-reads just rewrite the same rows
+    # pre-read of the cube); overlap re-reads just rewrite the same rows.
+    # Only the union of needed/tap/nodata bands' byte runs are read, via
+    # core.directio (O_DIRECT: 640 MB/s cold on the deployment VM vs
+    # 13 MB/s through the page cache — SCALING.md "Host I/O"); falls
+    # back to memmap reads when direct IO is unavailable.
     nod = np.zeros((rdn.nrows, rdn.ncols), bool)
+    state = {}
 
-    def read_block(r0, r1):
+    def read_block_bands(r0, r1, bands):
+        if "req" not in state:
+            state["req"] = sorted(set(int(b) for b in bands) | {0}
+                                  | set(int(b) for b in (tap_bands or [])))
+            state["pos"] = {b: i for i, b in enumerate(state["req"])}
+            state["sel"] = [state["pos"][int(b)] for b in bands]
+        pos = state["pos"]
+        blk = np.asarray(rdn.read_lines_bands(r0, r1, state["req"]),
+                         np.float32)
         if tap is not None:
-            blk = np.asarray(bip[r0:r1], np.float32)
-            tap(r0, r1, blk)
-        else:
-            blk = bip[r0:r1]
-        nod[r0:r1] = np.asarray(blk[..., 0]) == -9999
-        return blk
+            tap(r0, r1, blk, pos)
+        nod[r0:r1] = blk[:, :, pos[0]] == -9999
+        return blk[:, :, state["sel"]]
 
     out = masks_for_cube(
-        read_block, rdn.nrows, rdn.ncols, wavelengths,
+        read_block_bands=read_block_bands,
+        nrows=rdn.nrows, ncols=rdn.ncols, wavelengths=wavelengths,
         params=params, maskgrowradius_px=grow_px,
         mingrowarea=mingrowarea, cldbfr_px=cld_px,
         block_step=block_step,

@@ -161,14 +161,20 @@ def _compact_params(params: MaskParams, need) -> MaskParams:
         dark_band=pos[int(params.dark_band)])
 
 
-def masks_for_cube(read_block, nrows: int, ncols: int, wavelengths,
+def masks_for_cube(read_block=None, nrows: int = None, ncols: int = None,
+                   wavelengths=None,
                    params: MaskParams = MaskParams(),
                    maskgrowradius_px: float = None, mingrowarea=None,
                    cldbfr_px: float = 0.0, block_step: int = 500,
-                   nodata_row0=None, device=None):
+                   nodata_row0=None, device=None,
+                   read_block_bands=None):
     """Stream a flightline in line blocks and assemble the 4-band mask.
 
-    read_block(r0, r1) -> (rows, cols, bands) float block.
+    read_block(r0, r1) -> (rows, cols, bands) float block of ALL bands
+    (the needed ~80-band subset is sliced here), or supply
+    ``read_block_bands(r0, r1, bands) -> (rows, cols, len(bands))``
+    which reads ONLY the needed bands — the disk-efficient path
+    (core.directio reads just those byte runs).
     Returns (rows, cols, 4) int16: [cloud(buffered), specular, flare, dark]
     (reference: masks_sds.py:284-348).
 
@@ -211,7 +217,10 @@ def masks_for_cube(read_block, nrows: int, ncols: int, wavelengths,
     def _read(bi):
         r0 = starts[bi]
         r1 = min(nrows, r0 + block_length)
-        blk = np.asarray(read_block(r0, r1), np.float32)[:, :, need]
+        if read_block_bands is not None:
+            blk = np.asarray(read_block_bands(r0, r1, need), np.float32)
+        else:
+            blk = np.asarray(read_block(r0, r1), np.float32)[:, :, need]
         if blk.shape[0] < block_length:
             # pad to the fixed block shape so one jit executable serves
             # every block; -9999 rows trip none of the mask tests

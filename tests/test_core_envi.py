@@ -117,3 +117,65 @@ def test_dtype_codes():
     assert envi.dtype_to_envi(np.int16) == 2
     assert envi.envi_to_dtype(5) == np.dtype("<f8")
     assert envi.envi_to_dtype(12) == np.dtype("<u2")
+
+
+# ---------------------------------------------------------------------------
+# core.directio: O_DIRECT reads (SCALING.md "Host I/O" — 640 MB/s cold vs
+# 13 MB/s through the page cache on the deployment VM)
+# ---------------------------------------------------------------------------
+
+def test_directfile_read_range_equivalence(tmp_path, rng):
+    from srcfinder_tpu.core.directio import DirectFile
+    data = rng.integers(0, 256, size=3_000_000, dtype=np.uint8).tobytes()
+    p = tmp_path / "blob.bin"
+    p.write_bytes(data)
+    with DirectFile(str(p)) as df:
+        # odd offsets/lengths spanning alignment boundaries and EOF tail
+        cases = [(0, 4096), (1, 4095), (4095, 2), (4096, 4096),
+                 (123_457, 777_001), (len(data) - 5, 5),
+                 (len(data) - 4097, 4097), (0, len(data))]
+        for off, n in cases:
+            got = df.read_range(off, n)
+            assert got.tobytes() == data[off:off + n], (off, n, df.direct)
+        with pytest.raises(ValueError):
+            df.read_range(len(data) - 1, 2)      # past EOF
+        assert df.read_range(5, 0).size == 0
+
+
+def test_directfile_buffered_fallback(tmp_path, rng, monkeypatch):
+    from srcfinder_tpu.core import directio
+    monkeypatch.setenv("SRCFINDER_DIRECT_IO", "0")
+    data = rng.integers(0, 256, size=100_000, dtype=np.uint8).tobytes()
+    p = tmp_path / "blob.bin"
+    p.write_bytes(data)
+    with directio.DirectFile(str(p)) as df:
+        assert not df.direct
+        assert df.read_range(777, 9999).tobytes() == data[777:777 + 9999]
+
+
+def test_directfile_read_strided(tmp_path, rng):
+    from srcfinder_tpu.core.directio import DirectFile
+    arr = rng.integers(0, 256, size=(64, 1000), dtype=np.uint8)
+    p = tmp_path / "rows.bin"
+    p.write_bytes(arr.tobytes())
+    with DirectFile(str(p)) as df:
+        # every 3rd row (gaps defeat coalescing) and all rows (coalesced)
+        offs = [r * 1000 for r in range(0, 64, 3)]
+        got = df.read_strided(offs, 1000)
+        np.testing.assert_array_equal(got, arr[::3])
+        got = df.read_strided([r * 1000 for r in range(64)], 1000)
+        np.testing.assert_array_equal(got, arr)
+
+
+@pytest.mark.parametrize("interleave", ["bil", "bip", "bsq"])
+def test_read_lines_and_band_window_match_memmap(tmp_path, rng, interleave):
+    arr = rng.normal(size=(23, 9, 17)).astype(np.float32)
+    hdr = str(tmp_path / "img.hdr")
+    envi.save_envi(hdr, arr, metadata={}, interleave=interleave)
+    img = envi.open_envi(str(tmp_path / "img"))
+    np.testing.assert_array_equal(np.asarray(img.read_lines(4, 19)),
+                                  arr[4:19])
+    np.testing.assert_array_equal(np.asarray(img.read_lines(0, 23)), arr)
+    win = img.read_band_window(5, 13)            # (lines, bands, samples)
+    np.testing.assert_array_equal(
+        win, arr[:, :, 5:13].transpose(0, 2, 1))
