@@ -307,7 +307,25 @@ class EnviImage:
         return np.asarray(bip[r0:r1, c0:c1, :])
 
     def load(self) -> np.ndarray:
-        return np.asarray(self.open_memmap(interleave="bip"))
+        """Whole cube as (lines, samples, bands), via the O_DIRECT fast
+        path when available (see read_lines)."""
+        try:
+            return np.ascontiguousarray(self.read_lines(0, self.nrows))
+        except OSError:
+            return np.asarray(self.open_memmap(interleave="bip"))
+
+    def read_band(self, b: int) -> np.ndarray:
+        """One band as (lines, samples) — the detect CLIs' CMF-band
+        read (reference: cnn_pred_pipeline.py loads band 4 of the CMF).
+        BIL/BSQ read just that band's byte runs; BIP reads lines."""
+        if b < 0:
+            b += self.nbands
+        if not 0 <= b < self.nbands:
+            raise IndexError(f"band {b} of {self.nbands}")
+        if self.interleave in ("bil", "bsq"):
+            return np.ascontiguousarray(
+                self.read_band_window(b, b + 1)[:, 0, :])
+        return np.ascontiguousarray(self.read_lines(0, self.nrows)[..., b])
 
     def read_bands(self, bands) -> np.ndarray:
         bip = self.open_memmap(interleave="bip")

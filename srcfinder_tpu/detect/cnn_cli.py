@@ -93,8 +93,7 @@ def _run(args, saliency_fn):
 
     print("[STEP] MODEL PREDICTION")
     img = envi_io.open_envi(args.flightline)
-    band = np.asarray(img.open_memmap(interleave="bip")[..., args.band - 1],
-                      dtype=np.float32)
+    band = np.asarray(img.read_band(args.band - 1), dtype=np.float32)
     t0 = time.time()
     sal = np.asarray(saliency_fn(band, variables))
     print(f"[INFO] saliency computed in {time.time() - t0:.1f}s")

@@ -38,8 +38,7 @@ def main(argv=None):
     default_compile_cache()
     args = build_parser().parse_args(argv)
     img = envi_io.open_envi(args.srcfl)
-    data = np.asarray(img.open_memmap(interleave="bip")[..., args.band - 1],
-                      dtype=np.float32)
+    data = np.asarray(img.read_band(args.band - 1), dtype=np.float32)
     m = mapinfo(img)
     if m and float(m.get("rotation", 0) or 0) != 0:
         from ..core.warp import warp_north_up

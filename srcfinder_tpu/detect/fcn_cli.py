@@ -76,9 +76,8 @@ def _run_campaign(args):
         imgs, bands, metas = [], [], []
         for pth in group:
             img = envi_io.open_envi(pth)
-            band = np.asarray(
-                img.open_memmap(interleave="bip")[..., args.band - 1],
-                dtype=np.float32)
+            band = np.asarray(img.read_band(args.band - 1),
+                              dtype=np.float32)
             bands.append(band)
             metas.append(img.metadata)
         hmax = max(b.shape[0] for b in bands)

@@ -42,8 +42,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     salimg = envi_io.open_envi(args.salience_image)
     cmfimg = envi_io.open_envi(args.cmf_image)
-    salmm = np.asarray(salimg.open_memmap(interleave="bip")).squeeze()
-    cmfmm = np.asarray(cmfimg.open_memmap(interleave="bip"))
+    salmm = salimg.load().squeeze()
+    cmfmm = cmfimg.load()
     cmfmap = mapinfo(cmfimg)
     cmfbase = os.path.basename(args.cmf_image)
     cmflid = cmfbase.split("_")[0]

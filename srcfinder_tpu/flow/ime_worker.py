@@ -112,7 +112,7 @@ def compute_ime_for_cmf(cmf_path, out_csv=None, **params):
     from ..core.envi import open_envi
 
     img = open_envi(cmf_path)
-    bip = np.asarray(img.open_memmap(interleave="bip"))
+    bip = img.load()
     cmf = bip[..., -1]
     m = _mapinfo(img)
     df = detection_ime_stats(cmf, m, **params)

@@ -185,8 +185,7 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
         with _stage("fcn", timers, progress):
             variables = load_weights(weights)
             img = envi_io.open_envi(cmff)
-            band = np.asarray(img.open_memmap(interleave="bip")[..., -1],
-                              dtype=np.float32)
+            band = np.asarray(img.read_band(-1), dtype=np.float32)
             import jax.numpy as jnp
             fdt = jnp.bfloat16 if fcn_dtype == "bfloat16" else jnp.float32
             sal = np.asarray(fcn_saliency_image(band, variables,
@@ -215,9 +214,8 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
             os.makedirs(detdir, exist_ok=True)
             cmfimg = envi_io.open_envi(cmff)
             salimg = envi_io.open_envi(salf)
-            salmm = np.asarray(
-                salimg.open_memmap(interleave="bip")).squeeze()
-            cmfmm = np.asarray(cmfimg.open_memmap(interleave="bip"))
+            salmm = salimg.load().squeeze()
+            cmfmm = cmfimg.load()
             detdf = salience2detections(salmm, cmfmm, prob_thr, ppmm_thr,
                                         lid, mapinfo(cmfimg), detdir,
                                         quicklooks=quicklooks)

@@ -59,7 +59,7 @@ def img_to_gtif(imgf: str, outdir: str, nodata: float = -9999.0,
         pass
     try:
         img = open_envi(imgf)
-        data = np.asarray(img.open_memmap(interleave="bip"), np.float32)
+        data = np.asarray(img.load(), np.float32)
         if data.ndim == 2:
             data = data[..., None]
         h, w = data.shape[:2]
