@@ -222,6 +222,17 @@ def main(argv=None):
         dev = None
         if args.device == "cpu":
             import jax
+            # A host-only run must not require the accelerator tunnel to
+            # be alive: without the pin, jax.devices("cpu") first
+            # initializes the default (remote TPU) backend, which hangs
+            # indefinitely when the tunnel is down (observed 2026-08-18).
+            # The JAX_PLATFORMS env var is ignored on the deployment VM;
+            # only the config API pin works (CLAUDE.md). No-op if a
+            # backend is already up (ImportError-free best effort).
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
             dev = jax.devices("cpu")[0]
         # idempotent resume (the reference pipelines' skip convention):
         # existing products are regenerated only with --overwrite, but
