@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 from ..models.googlenet import GoogLeNet
 
-__all__ = ["cnn_window_saliency", "cnn_saliency_image"]
+__all__ = ["cnn_window_saliency", "cnn_window_saliency_sharded",
+           "cnn_saliency_image"]
 
 
 def reference_pad(img, dim: int = 256):
@@ -168,6 +169,61 @@ def cnn_window_saliency(model: GoogLeNet, variables, img, dim: int = 256,
         if progress is not None:
             progress(done, n)
     return out.reshape(h, w)
+
+
+def cnn_window_saliency_sharded(model: GoogLeNet, variables, img, mesh,
+                                dim: int = 256, batch: int = 512,
+                                mesh_axes=None):
+    """Multi-device exact dense sliding-window saliency — the mesh
+    replacement for the reference's ``nn.DataParallel`` on the exact
+    path (cnn_pred_pipeline.py:113-116 replicates the model over <= 4
+    GPUs and scatters window batches).
+
+    Windows (row-major over pixels) are sharded over ``mesh_axes`` as
+    contiguous per-device ranges; weights and the padded scene are
+    replicated; each device runs the SAME band-gather + fori_loop scan
+    as the single-chip path (``_cnn_window_scan``'s body), so per-window
+    outputs are identical to :func:`cnn_window_saliency` (asserted on an
+    8-device CPU mesh in tests/test_detect.py). No collectives beyond
+    the final gather — the workload is embarrassingly parallel, matching
+    the DataParallel semantics.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+    from jax.experimental.shard_map import shard_map
+
+    axes = mesh_axes or tuple(mesh.axis_names)
+    if isinstance(axes, str):
+        axes = (axes,)
+    ndev = int(np.prod([mesh.shape[a] for a in axes]))
+    h, w = img.shape
+    padded = reference_pad(img, dim)
+    n = h * w
+    per = -(-n // (ndev * batch)) * batch    # windows per device (padded)
+    iters = per // batch
+    span = ndev * per
+    idx = np.arange(n)
+    r = np.zeros(span, np.int32)
+    c = np.zeros(span, np.int32)
+    r[:n] = idx // w                         # tail padding windows carry
+    c[:n] = idx % w                          # index 0; outputs discarded
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    shard = NamedSharding(mesh, PartitionSpec(tuple(axes)))
+    variables = jax.device_put(variables, rep)
+    padded = jax.device_put(padded, rep)
+    rj = jax.device_put(jnp.asarray(r), shard)
+    cj = jax.device_put(jnp.asarray(c), shard)
+
+    def body(v, p, rr, cc):
+        return _cnn_window_scan(model, v, p, rr, cc, dim, batch, iters)
+
+    spec = PartitionSpec(tuple(axes))
+    run = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(PartitionSpec(), PartitionSpec(), spec, spec),
+        out_specs=spec, check_rep=False))
+    pr = np.asarray(run(variables, padded, rj, cj))
+    return pr[:n].reshape(h, w)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "dim", "hv", "wv"))

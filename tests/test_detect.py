@@ -578,3 +578,20 @@ def test_fcn_saliency_image_folds_internally(small_model, rng):
                                         model_name="multi_64",
                                         model=model, method="phase"))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_cnn_window_sharded_matches_single(small_model, rng):
+    """Exact sliding-window CNN sharded over the 8-device CPU mesh ==
+    single device (the DataParallel analog for the exact path,
+    reference: cnn_pred_pipeline.py:113-116)."""
+    from srcfinder_tpu.parallel import make_mesh
+    from srcfinder_tpu.detect.cnn_pipeline import (
+        cnn_window_saliency, cnn_window_saliency_sharded)
+    model, variables = small_model
+    img = rng.normal(size=(9, 13)).astype(np.float32)   # 117 windows
+    single = np.asarray(cnn_window_saliency(
+        model, variables, jnp.asarray(img), dim=32, batch=8, superbatch=4))
+    mesh = make_mesh(8, axis_names=("data",))
+    sharded = cnn_window_saliency_sharded(
+        model, variables, jnp.asarray(img), mesh, dim=32, batch=8)
+    np.testing.assert_array_equal(sharded, single)
