@@ -166,7 +166,24 @@ def main(argv=None):
                              "fetched from it and the merged output is "
                              "uploaded back — the reference's AWS mode "
                              "(msf_flow.py:286-348, :254-267)")
+    parser.add_argument("--device", choices=["cpu", "default"],
+                        default="cpu",
+                        help="backend for the wind top-k kernel (cpu: "
+                             "host, the production default)")
     args = parser.parse_args(argv)
+
+    if args.device == "cpu":
+        # The wind top-k kernels are tiny and transfer-bound: the host
+        # backend beats shipping arrays through the remote-TPU tunnel,
+        # and a host-only run must not hang when the tunnel is down
+        # (same rationale as srcfinder-masks --device cpu). Config-API
+        # pin: the JAX_PLATFORMS env var is ignored on the deployment
+        # VM (CLAUDE.md).
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     from ..utils.config import default_compile_cache
     default_compile_cache()

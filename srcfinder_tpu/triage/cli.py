@@ -23,6 +23,11 @@ def build_parser():
     p.add_argument("--randomize", action="store_true",
                    help="Randomize cmffiles processing order")
     p.add_argument("--outdir", type=str, default=".")
+    p.add_argument("--device", choices=["cpu", "default"],
+                   default="cpu",
+                   help="backend for the column-stats kernel "
+                        "(cpu: host, the production default; "
+                        "default: ambient jax backend)")
     p.add_argument("cmffiles", type=str, nargs="+", metavar="cmf_file")
     return p
 
@@ -38,6 +43,18 @@ def main(argv=None):
     default_compile_cache()
 
     args = build_parser().parse_args(argv)
+    if args.device == "cpu":
+        # The column-stats kernels are tiny and transfer-bound: the host
+        # backend beats shipping arrays through the remote-TPU tunnel,
+        # and a host-only run must not hang when the tunnel is down
+        # (same rationale as srcfinder-masks --device cpu). Config-API
+        # pin: the JAX_PLATFORMS env var is ignored on the deployment
+        # VM (CLAUDE.md).
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     files = list(args.cmffiles)
     if len(files) > 1 and args.randomize:
         files = list(np.array(files)[np.random.permutation(len(files))])
