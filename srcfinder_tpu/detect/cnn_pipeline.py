@@ -55,14 +55,24 @@ def _cnn_window_chunk(model: GoogLeNet, variables, padded, rows, cols,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("model", "dim", "batch", "iters"))
+                   static_argnames=("model", "dim", "batch", "iters",
+                                    "fused"))
 def _cnn_window_scan(model: GoogLeNet, variables, padded, rows, cols,
-                     dim: int, batch: int, iters: int):
+                     dim: int, batch: int, iters: int,
+                     fused: bool = False):
     """``iters`` window batches inside ONE jitted executable: a
     ``fori_loop`` gathers each batch with dynamic_slice and runs the
     batched forward, so the host round-trip (the axon-tunnel dispatch
     latency that dominated the per-batch host loop — VERDICT r2 item 3)
     is paid once per scan, not once per batch.
+
+    ``fused=True`` routes each window batch through the Pallas fused
+    stage-1+2 trunk (ops.trunk_fuse: conv1 -> ceil-pool -> conv2 ->
+    conv3 VMEM-resident, no HBM round-trips for the early feature maps
+    — the byte-dominant ~47% of the exact path's traffic) and resumes
+    the model at stage 3. Requires BN-folded variables
+    (models.googlenet.fold_inference). Opt-in pending the hardware
+    bake-off (SRCFINDER_CNN_FUSED=1).
 
     Window gather is two-level: window indices are row-major
     consecutive, so a batch spans <= ceil(batch/W)+1 image rows; one
@@ -74,6 +84,18 @@ def _cnn_window_scan(model: GoogLeNet, variables, padded, rows, cols,
     gather removes that wall."""
     w_img = padded.shape[1] - (dim - 1)           # original scene width
     band_h = dim + -(-batch // w_img)             # rows a batch can span
+
+    if fused:
+        from ..ops.trunk_fuse import trunk_params_from_variables
+        trunk_params = trunk_params_from_variables(variables)
+
+    def _forward(wins):
+        if fused:
+            from ..ops.trunk_fuse import fused_stage12
+            feats = fused_stage12(wins, trunk_params)
+            return model.apply(variables, feats, train=False,
+                               start_stage=3)
+        return model.apply(variables, wins, train=False)
 
     def body(i, out):
         r = jax.lax.dynamic_slice(rows, (i * batch,), (batch,))
@@ -90,7 +112,7 @@ def _cnn_window_scan(model: GoogLeNet, variables, padded, rows, cols,
             lambda rr, cc: jax.lax.dynamic_slice(band, (rr, cc),
                                                  (dim, dim)))(
             r - r0, c)[..., None]
-        logits = model.apply(variables, wins, train=False)
+        logits = _forward(wins)
         pr = jax.nn.softmax(logits, axis=-1)[:, 1].astype(jnp.float32)
         return jax.lax.dynamic_update_slice(out, pr, (i * batch,))
 
@@ -100,7 +122,7 @@ def _cnn_window_scan(model: GoogLeNet, variables, padded, rows, cols,
 
 def cnn_window_saliency(model: GoogLeNet, variables, img, dim: int = 256,
                         batch: int = 512, progress=None,
-                        superbatch: int = 64):
+                        superbatch: int = 64, fused: bool | None = None):
     """Exact dense sliding-window class-1 probability map.
 
     img: (H, W) preprocessed. Returns (H, W).
@@ -122,6 +144,14 @@ def cnn_window_saliency(model: GoogLeNet, variables, img, dim: int = 256,
       dispatch. Outputs are ~1 MB each; inputs ~2 MB — queueing all of
       them holds no significant HBM.
     """
+    import os as _os
+    if fused is None:
+        # opt-in until the hardware bake-off (docstring of
+        # _cnn_window_scan); requires BN-folded variables and D % 4 == 0
+        fused = (_os.environ.get("SRCFINDER_CNN_FUSED") == "1"
+                 and dim % 4 == 0
+                 and "bias" in variables.get("params", {})
+                 .get("conv1", {}).get("conv", {}))
     h, w = img.shape
     padded = reference_pad(img, dim)
     n = h * w
@@ -160,7 +190,7 @@ def cnn_window_saliency(model: GoogLeNet, variables, img, dim: int = 256,
         c[:take] = cols[off:off + take]
         pending.append((off, take, _cnn_window_scan(
             model, variables, padded, jnp.asarray(r), jnp.asarray(c),
-            dim, batch, iters)))
+            dim, batch, iters, bool(fused))))
 
     done = 0
     for off, take, pr in pending:

@@ -225,8 +225,15 @@ class GoogLeNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False,
-                 stage: int | None = None, dilated: bool = False):
-        """``stage`` (1..5) computes only that stride-2 trunk stage on
+                 stage: int | None = None, dilated: bool = False,
+                 start_stage: int = 1):
+        """``start_stage`` (1..5) enters the forward mid-trunk: ``x`` is
+        the OUTPUT of stage ``start_stage - 1`` and computation runs
+        from there to the head — the resume point for externally fused
+        early stages (ops.trunk_fuse computes stages 1+2 of the exact
+        sliding-window path in one VMEM-resident Pallas kernel).
+
+        ``stage`` (1..5) computes only that stride-2 trunk stage on
         already-computed features — the phase-deduplicated FCN path
         (detect.fcn_pipeline.fcn_phase_saliency) drives stages
         individually. Stage boundaries are the downsampling ops:
@@ -273,17 +280,17 @@ class GoogLeNet(nn.Module):
                     name="inception5b")(x, train, 32)
             return x
 
-        if stage in (None, 1):
+        if stage in (None, 1) and start_stage <= 1:
             x = conv(64, 7, strides=2, padding=3, name="conv1")(x, train)
             if stage == 1:
                 return x
-        if stage in (None, 2):
+        if stage in (None, 2) and start_stage <= 2:
             x = _ceil_maxpool(x, 3, 2)
             x = conv(64, 1, name="conv2")(x, train)
             x = conv(192, 3, padding=1, name="conv3")(x, train)
             if stage == 2:
                 return x
-        if stage in (None, 3):
+        if stage in (None, 3) and start_stage <= 3:
             x = _ceil_maxpool(x, 3, 2)
             x = inc(64, 96, 128, 16, 32, 32, name="inception3a")(x, train)
             x = inc(128, 128, 192, 32, 96, 64, name="inception3b")(x, train)
@@ -291,7 +298,7 @@ class GoogLeNet(nn.Module):
                 return x
 
         aux1 = aux2 = None
-        if stage in (None, 4):
+        if stage in (None, 4) and start_stage <= 4:
             x = _ceil_maxpool(x, 3, 2)
             x = inc(192, 96, 208, 16, 48, 64, name="inception4a")(x, train)
             if stage is None and self.aux_logits and train:
@@ -306,7 +313,7 @@ class GoogLeNet(nn.Module):
             x = inc(256, 160, 320, 32, 128, 128, name="inception4e")(x, train)
             if stage == 4:
                 return x
-        if stage in (None, 5):
+        if stage in (None, 5) and start_stage <= 5:
             x = _ceil_maxpool(x, 2, 2)
             x = inc(256, 160, 320, 32, 128, 128, name="inception5a")(x, train)
             x = inc(384, 192, 384, 48, 128, 128, name="inception5b")(x, train)

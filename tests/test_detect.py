@@ -595,3 +595,45 @@ def test_cnn_window_sharded_matches_single(small_model, rng):
     sharded = cnn_window_saliency_sharded(
         model, variables, jnp.asarray(img), mesh, dim=32, batch=8)
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_cnn_window_scan_fused_trunk_matches(small_model, rng):
+    """The Pallas fused stage-1+2 trunk (ops.trunk_fuse, VMEM-resident
+    conv1->pool->conv2->conv3 per window + model resume at stage 3)
+    reproduces the plain scan's saliency (interpret mode on CPU)."""
+    from srcfinder_tpu.detect.cnn_pipeline import cnn_window_saliency
+    from srcfinder_tpu.models.googlenet import fold_inference
+    model, variables = fold_inference(*small_model)
+    img = rng.normal(size=(4, 5)).astype(np.float32)    # 20 windows
+    plain = np.asarray(cnn_window_saliency(
+        model, variables, jnp.asarray(img), dim=32, batch=8,
+        superbatch=2, fused=False))
+    fused = np.asarray(cnn_window_saliency(
+        model, variables, jnp.asarray(img), dim=32, batch=8,
+        superbatch=2, fused=True))
+    np.testing.assert_allclose(fused, plain, rtol=2e-4, atol=2e-5)
+
+
+def test_trunk_fuse_kernel_matches_stages(small_model, rng):
+    """ops.trunk_fuse.fused_stage12 == model stages 1+2, f32 tight and
+    bf16 loose (the MXU dtype)."""
+    from srcfinder_tpu.ops.trunk_fuse import (fused_stage12,
+                                              trunk_params_from_variables)
+    from srcfinder_tpu.models.googlenet import fold_inference
+    model, variables = fold_inference(*small_model)
+    params = trunk_params_from_variables(variables)
+    wins = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    ref = model.apply(variables,
+                      model.apply(variables, wins, train=False, stage=1),
+                      train=False, stage=2)
+    got = fused_stage12(wins, params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    wb = wins.astype(jnp.bfloat16)
+    got16 = fused_stage12(wb, params)
+    ref16 = model.apply(variables,
+                        model.apply(variables, wb, train=False, stage=1),
+                        train=False, stage=2)
+    np.testing.assert_allclose(np.asarray(got16, np.float32),
+                               np.asarray(ref16, np.float32),
+                               rtol=0.1, atol=0.15)
