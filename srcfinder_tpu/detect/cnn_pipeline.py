@@ -94,7 +94,7 @@ def _cnn_window_scan(model: GoogLeNet, variables, padded, rows, cols,
             from ..ops.trunk_fuse import fused_stage12
             feats = fused_stage12(wins, trunk_params)
             return model.apply(variables, feats, train=False,
-                               start_stage=3)
+                               start_stage=3, start_pooled=True)
         return model.apply(variables, wins, train=False)
 
     def body(i, out):
@@ -149,7 +149,7 @@ def cnn_window_saliency(model: GoogLeNet, variables, img, dim: int = 256,
         # opt-in until the hardware bake-off (docstring of
         # _cnn_window_scan); requires BN-folded variables and D % 4 == 0
         fused = (_os.environ.get("SRCFINDER_CNN_FUSED") == "1"
-                 and dim % 4 == 0
+                 and dim % 8 == 0
                  and "bias" in variables.get("params", {})
                  .get("conv1", {}).get("conv", {}))
     h, w = img.shape

@@ -226,12 +226,15 @@ class GoogLeNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False,
                  stage: int | None = None, dilated: bool = False,
-                 start_stage: int = 1):
+                 start_stage: int = 1, start_pooled: bool = False):
         """``start_stage`` (1..5) enters the forward mid-trunk: ``x`` is
         the OUTPUT of stage ``start_stage - 1`` and computation runs
         from there to the head — the resume point for externally fused
         early stages (ops.trunk_fuse computes stages 1+2 of the exact
         sliding-window path in one VMEM-resident Pallas kernel).
+        ``start_pooled=True`` (with ``start_stage == 3``) declares that
+        ``x`` has ALSO been through stage 3's leading ceil-mode maxpool
+        (the fused kernel's pool2 output) — the pool is skipped.
 
         ``stage`` (1..5) computes only that stride-2 trunk stage on
         already-computed features — the phase-deduplicated FCN path
@@ -291,7 +294,8 @@ class GoogLeNet(nn.Module):
             if stage == 2:
                 return x
         if stage in (None, 3) and start_stage <= 3:
-            x = _ceil_maxpool(x, 3, 2)
+            if not (start_pooled and start_stage == 3):
+                x = _ceil_maxpool(x, 3, 2)
             x = inc(64, 96, 128, 16, 32, 32, name="inception3a")(x, train)
             x = inc(128, 128, 192, 32, 96, 64, name="inception3b")(x, train)
             if stage == 3:

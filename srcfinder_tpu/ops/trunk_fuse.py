@@ -15,14 +15,15 @@ resident in VMEM:
       -> ceil-mode maxpool 3x3/2                  (D/4, D/4, 64)
       -> conv2 1x1 + bias + ReLU                  (D/4, D/4, 64)
       -> conv3 3x3 pad 1 + bias + ReLU            (D/4, D/4, 192)
+      -> ceil-mode maxpool 3x3/2 (pool2)          (D/8, D/8, 192)
 
-writing only the stage-2 output — the input of the model's stage 3
-(models.googlenet GoogLeNet.__call__(start_stage=3) resumes from it).
+writing only the pooled stage-3 input (GoogLeNet.__call__(
+start_stage=3, start_pooled=True) resumes from it).
 Weights are the BN-folded inference parameters (fold_inference).
 
 Kernel construction notes (see /opt/skills/guides/pallas_guide.md):
 - grid = (B,): one program per window; the Pallas pipeline double-
-  buffers the (1, D, D, 1) input block and the (1, D/4, D/4, 192)
+  buffers the (1, D, D, 1) input block and the (1, D/8, D/8, 192)
   output block between HBM and VMEM automatically.
 - conv1 is im2col + one MXU dot ((D/2*D/2, 49) @ (49, 64)); strided
   patch extraction uses reshape-and-take (stride-2 slicing lowers
@@ -152,15 +153,20 @@ def _kernel(win_ref, k1_ref, b1_ref, k2_ref, b2_ref, k3_ref, b3_ref,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     c3 = jnp.maximum(acc3 + b3_ref[0].astype(jnp.float32), 0.0)
-    out_ref[0] = c3.astype(dt).reshape(h2, h2, 192)
+    c3 = c3.astype(dt).reshape(h2, h2, 192)
+
+    # ---- pool2 (stage 3's leading ceil-mode maxpool 3x3/2): emitting
+    # the pooled map quarters the kernel's output traffic AND stage 3's
+    # input reads; the model resumes with start_pooled=True ------------
+    out_ref[0] = _ceil_pool3x3s2(c3)               # (h2//2, h2//2, 192)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_stage12(wins, params, interpret: bool | None = None):
-    """(B, D, D, 1) windows -> (B, D/4, D/4, 192) GoogLeNet stage-2
-    output (conv1 -> ceil-pool -> conv2 -> conv3, BN folded, per-window
-    VMEM-resident). ``params`` from :func:`trunk_params_from_variables`.
-    D must be a multiple of 4.
+    """(B, D, D, 1) windows -> (B, D/8, D/8, 192): GoogLeNet conv1 ->
+    ceil-pool -> conv2 -> conv3 -> ceil-pool (stages 1+2 AND stage 3's
+    leading pool), BN folded, per-window VMEM-resident. ``params`` from
+    :func:`trunk_params_from_variables`. D must be a multiple of 8.
 
     ``interpret=None``: interpreter on the CPU backend (the test
     suite), Mosaic-compiled otherwise (incl. the "axon" remote-TPU
@@ -168,11 +174,11 @@ def fused_stage12(wins, params, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, d, d2, _ = wins.shape
-    if d != d2 or d % 4:
-        raise ValueError(f"square windows with D % 4 == 0 required, "
+    if d != d2 or d % 8:
+        raise ValueError(f"square windows with D % 8 == 0 required, "
                          f"got {wins.shape}")
     k1, b1, k2, b2, k3, b3 = (p.astype(wins.dtype) for p in params)
-    h2 = d // 4
+    h3 = d // 8
 
     def full(shape):
         return pl.BlockSpec(shape, lambda *_: (0,) * len(shape),
@@ -188,8 +194,8 @@ def fused_stage12(wins, params, interpret: bool | None = None):
             full((64, 64)), full((1, 64)),
             full((3, 3, 64, 192)), full((1, 192)),
         ],
-        out_specs=pl.BlockSpec((1, h2, h2, 192), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, h3, h3, 192), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h2, h2, 192), wins.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h3, h3, 192), wins.dtype),
         interpret=interpret,
     )(wins, k1, b1, k2, b2, k3, b3)

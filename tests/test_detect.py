@@ -615,25 +615,26 @@ def test_cnn_window_scan_fused_trunk_matches(small_model, rng):
 
 
 def test_trunk_fuse_kernel_matches_stages(small_model, rng):
-    """ops.trunk_fuse.fused_stage12 == model stages 1+2, f32 tight and
-    bf16 loose (the MXU dtype)."""
+    """ops.trunk_fuse.fused_stage12 == model stages 1+2 + pool2, f32
+    tight and bf16 loose (the MXU dtype)."""
     from srcfinder_tpu.ops.trunk_fuse import (fused_stage12,
                                               trunk_params_from_variables)
     from srcfinder_tpu.models.googlenet import fold_inference
     model, variables = fold_inference(*small_model)
     params = trunk_params_from_variables(variables)
     wins = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
-    ref = model.apply(variables,
-                      model.apply(variables, wins, train=False, stage=1),
-                      train=False, stage=2)
+    from srcfinder_tpu.models.googlenet import _ceil_maxpool
+    ref = _ceil_maxpool(model.apply(
+        variables, model.apply(variables, wins, train=False, stage=1),
+        train=False, stage=2), 3, 2)
     got = fused_stage12(wins, params)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
     wb = wins.astype(jnp.bfloat16)
     got16 = fused_stage12(wb, params)
-    ref16 = model.apply(variables,
-                        model.apply(variables, wb, train=False, stage=1),
-                        train=False, stage=2)
+    ref16 = _ceil_maxpool(model.apply(
+        variables, model.apply(variables, wb, train=False, stage=1),
+        train=False, stage=2), 3, 2)
     np.testing.assert_allclose(np.asarray(got16, np.float32),
                                np.asarray(ref16, np.float32),
                                rtol=0.1, atol=0.15)
