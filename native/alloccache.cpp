@@ -85,7 +85,24 @@ struct BlockHeader {
 // Registry of live user pointers: open addressing, linear probing.
 // Reads are lock-free (free() probes it for every pointer in the
 // process); inserts/removes happen under the mutex.
+//
+// Tombstones accumulate (remove never writes 0 — that would break
+// other keys' probe chains), so a long-running process could exhaust
+// the never-used slots that terminate probes. Three guards:
+//  - every probe loop is bounded by kTableSize (a full sweep answers
+//    definitively; no infinite spin even with zero free slots),
+//  - inserts track the zero-slot budget and REBUILD the table (clear
+//    tombstones, under the mutex) when it runs low,
+//  - a seqlock epoch makes the rebuild safe against the lock-free
+//    readers: contains() retries if the epoch moved underneath it, so
+//    it can never misreport a live cache pointer as foreign (which
+//    would route it to __libc_free and corrupt the glibc heap).
 std::atomic<uintptr_t> g_table[kTableSize];
+std::atomic<uint64_t> g_epoch{0};       // odd while a rebuild runs
+size_t g_zeros = kTableSize;            // never-used slots (under mutex)
+uintptr_t g_rebuild_buf[kTableSize];    // scratch (under mutex)
+
+void registry_rebuild();
 
 struct State {
     pthread_mutex_t lock = PTHREAD_MUTEX_INITIALIZER;
@@ -136,23 +153,37 @@ inline size_t slot_of(uintptr_t p) {
 }
 
 // Lock-free membership probe (callers re-verify under the mutex before
-// mutating). Linear probing, stop at the first never-used slot.
+// mutating). Linear probing, stop at the first never-used slot; bounded
+// by a full sweep; seqlock-retried across rebuilds.
 bool registry_contains(uintptr_t p) {
-    for (size_t i = slot_of(p);; i = (i + 1) & (kTableSize - 1)) {
-        uintptr_t v = g_table[i].load(std::memory_order_acquire);
-        if (v == p) return true;
-        if (v == 0) return false;
+    for (;;) {
+        uint64_t e1 = g_epoch.load(std::memory_order_acquire);
+        if (e1 & 1) continue;                 // rebuild in flight
+        bool found = false, decided = false;
+        size_t start = slot_of(p);
+        for (size_t n = 0; n < kTableSize; ++n) {
+            size_t i = (start + n) & (kTableSize - 1);
+            uintptr_t v = g_table[i].load(std::memory_order_acquire);
+            if (v == p) { found = true; decided = true; break; }
+            if (v == 0) { decided = true; break; }
+        }
+        if (!decided) found = false;          // full sweep: not present
+        if (g_epoch.load(std::memory_order_acquire) == e1) return found;
     }
 }
 
-// Under the mutex. Returns false if the table is full (caller then
-// must not serve the block from the cache).
+// Under the mutex (so no rebuild can run concurrently). Returns false
+// if the table is full (caller then must not serve from the cache).
 bool registry_insert(uintptr_t p) {
+    // keep >= 1/8 of the table never-used so probes stay short and
+    // always terminate early; rebuilding clears accumulated tombstones
+    if (g_zeros < kTableSize / 8) registry_rebuild();
     size_t start = slot_of(p);
     for (size_t n = 0; n < kTableSize; ++n) {
         size_t i = (start + n) & (kTableSize - 1);
         uintptr_t v = g_table[i].load(std::memory_order_relaxed);
         if (v == 0 || v == kTomb) {
+            if (v == 0) --g_zeros;
             g_table[i].store(p, std::memory_order_release);
             return true;
         }
@@ -162,7 +193,9 @@ bool registry_insert(uintptr_t p) {
 
 // Under the mutex. Returns false if p was not present.
 bool registry_remove(uintptr_t p) {
-    for (size_t i = slot_of(p);; i = (i + 1) & (kTableSize - 1)) {
+    size_t start = slot_of(p);
+    for (size_t n = 0; n < kTableSize; ++n) {
+        size_t i = (start + n) & (kTableSize - 1);
         uintptr_t v = g_table[i].load(std::memory_order_relaxed);
         if (v == p) {
             g_table[i].store(kTomb, std::memory_order_release);
@@ -170,6 +203,32 @@ bool registry_remove(uintptr_t p) {
         }
         if (v == 0) return false;
     }
+    return false;
+}
+
+// Under the mutex. Collect live keys, zero the table, reinsert —
+// tombstones vanish. The epoch is odd for the duration so lock-free
+// readers retry instead of trusting a half-built table.
+void registry_rebuild() {
+    g_epoch.fetch_add(1, std::memory_order_acq_rel);      // -> odd
+    size_t n = 0;
+    for (size_t i = 0; i < kTableSize; ++i) {
+        uintptr_t v = g_table[i].load(std::memory_order_relaxed);
+        if (v != 0 && v != kTomb) g_rebuild_buf[n++] = v;
+        g_table[i].store(0, std::memory_order_relaxed);
+    }
+    g_zeros = kTableSize;
+    for (size_t k = 0; k < n; ++k) {
+        uintptr_t p = g_rebuild_buf[k];
+        for (size_t s = slot_of(p);; s = (s + 1) & (kTableSize - 1)) {
+            if (g_table[s].load(std::memory_order_relaxed) == 0) {
+                g_table[s].store(p, std::memory_order_relaxed);
+                --g_zeros;
+                break;
+            }
+        }
+    }
+    g_epoch.fetch_add(1, std::memory_order_acq_rel);      // -> even
 }
 
 class Guard {

@@ -242,10 +242,11 @@ def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
             raw = img.read_band_window(active[0] - 1, active[1])
             pre_active = raw.transpose(0, 2, 1)    # (L, C, AB) view
             if rgb_bands:
-                lo, hi = min(rgb_bands), max(rgb_bands) + 1
-                win = img.read_band_window(lo, hi)
-                pre_rgb = np.stack([win[:, bi - lo, :]
-                                    for bi in rgb_bands], axis=-1)
+                sel = sorted(set(int(b) for b in rgb_bands))
+                win = img.read_lines_bands(0, img.nrows, sel)  # (L,C,n)
+                pre_rgb = np.stack(
+                    [win[:, :, sel.index(int(b))] for b in rgb_bands],
+                    axis=-1)
         except (OSError, ValueError) as e:
             print(f"[WARN] direct-IO preload failed ({e}); "
                   "falling back to memmap reads")

@@ -68,6 +68,7 @@ class DirectFile:
         self.size = os.path.getsize(path)
         self.direct = False
         self.fd = -1
+        self._retired = []      # fds parked by _demote (see below)
         if direct_io_enabled():
             try:
                 self.fd = os.open(path, os.O_RDONLY | os.O_DIRECT)
@@ -84,6 +85,8 @@ class DirectFile:
         if self.fd >= 0:
             _close(self.fd)
             self.fd = -1
+        while self._retired:
+            _close(self._retired.pop())
 
     def __enter__(self):
         return self
@@ -113,9 +116,13 @@ class DirectFile:
         return total
 
     def _demote(self):
-        """Reopen buffered after a runtime O_DIRECT failure."""
+        """Reopen buffered after a runtime O_DIRECT failure. The old fd
+        is PARKED, not closed: a concurrent read_range may be mid-preadv
+        on it, and closing would hand its number to an unrelated open
+        (silent wrong-file reads). One parked fd per demotion, closed in
+        close() — bounded and harmless."""
         fd = os.open(self.path, os.O_RDONLY)
-        os.close(self.fd)
+        self._retired.append(self.fd)
         self.fd = fd
         self.direct = False
 

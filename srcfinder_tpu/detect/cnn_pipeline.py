@@ -83,7 +83,11 @@ def _cnn_window_scan(model: GoogLeNet, variables, padded, rows, cols,
     (17 s/scene, ~15 GB/s effective — 50x off HBM peak); the band
     gather removes that wall."""
     w_img = padded.shape[1] - (dim - 1)           # original scene width
-    band_h = dim + -(-batch // w_img)             # rows a batch can span
+    # rows a batch can span, clamped to the scene: on a small/narrow
+    # flightline (W*(H-1) < batch) the band is simply the whole padded
+    # scene — without the clamp dynamic_slice's slice_sizes exceed the
+    # operand and tracing fails (r3 review finding)
+    band_h = min(dim + -(-batch // w_img), padded.shape[0])
 
     if fused:
         from ..ops.trunk_fuse import trunk_params_from_variables

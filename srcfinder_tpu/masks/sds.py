@@ -227,13 +227,17 @@ def masks_for_cube(read_block=None, nrows: int = None, ncols: int = None,
             blk = np.concatenate(
                 [blk, np.full((block_length - blk.shape[0],) + blk.shape[1:],
                               -9999.0, np.float32)], axis=0)
-        # host-side inputs of the flare growth (stays on host)
-        vis_veto = np.asarray(blk[: r1 - r0, :, params.spec_band]
-                              >= params.vis_grow_threshold)
-        return blk, vis_veto
+        # host-side input of the flare growth: stashed OUTSIDE the
+        # prefetcher payload — returning it would device_put the bool
+        # map to the accelerator only for grow_flare_mask to pull it
+        # straight back through the tunnel (r3 review finding)
+        vetoes[bi] = np.asarray(blk[: r1 - r0, :, params.spec_band]
+                                >= params.vis_grow_threshold)
+        return blk
 
-    for bi, (blk, vis_veto) in BlockPrefetcher(_read, len(starts),
-                                               device=device):
+    vetoes: dict = {}
+    for bi, blk in BlockPrefetcher(_read, len(starts), device=device):
+        vis_veto = vetoes.pop(bi)
         r0 = starts[bi]
         r1 = min(nrows, r0 + block_length)
         with dev_ctx:

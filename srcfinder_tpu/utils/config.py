@@ -62,9 +62,13 @@ def ensure_alloc_cache() -> bool:
     if os.environ.get("SRCFINDER_ALLOC_CACHE") == "0":
         return False
     so = find_alloc_cache_so()
-    if so is None or not sys.argv or not sys.argv[0]:
+    # sys.orig_argv preserves the exact interpreter invocation —
+    # rebuilding from sys.argv[0] broke every `python -m pkg.mod` CLI
+    # (the re-exec'd module lost its package and its relative imports
+    # failed; r3 review finding)
+    orig = list(getattr(sys, "orig_argv", []))
+    if so is None or len(orig) < 2:
         return False
     env = dict(os.environ)
     env["LD_PRELOAD"] = f"{so} {pre}".strip()
-    argv = [sys.executable, os.path.abspath(sys.argv[0])] + sys.argv[1:]
-    os.execve(sys.executable, argv, env)  # no return
+    os.execve(sys.executable, orig, env)  # no return

@@ -638,3 +638,19 @@ def test_trunk_fuse_kernel_matches_stages(small_model, rng):
     np.testing.assert_allclose(np.asarray(got16, np.float32),
                                np.asarray(ref16, np.float32),
                                rtol=0.1, atol=0.15)
+
+
+def test_cnn_window_scan_small_scene_band_clamp(small_model, rng):
+    """A scene smaller than one window batch (W*(H-1) < batch) must
+    still trace: the row-band gather clamps to the padded scene height
+    (unclamped it crashed dynamic_slice — r3 review finding)."""
+    from srcfinder_tpu.detect.cnn_pipeline import cnn_window_saliency
+    model, variables = small_model
+    img = rng.normal(size=(3, 4)).astype(np.float32)    # 12 windows
+    per_batch = np.asarray(cnn_window_saliency(
+        model, variables, jnp.asarray(img), dim=32, batch=32,
+        superbatch=1))
+    scanned = np.asarray(cnn_window_saliency(
+        model, variables, jnp.asarray(img), dim=32, batch=32,
+        superbatch=2))
+    np.testing.assert_array_equal(scanned, per_batch)

@@ -238,3 +238,22 @@ def test_alloccache_fork_while_threads_allocate():
         "[t.join() for t in ts]\n"
         "print('FORK_OK', flush=True)\n")
     assert "FORK_OK" in out
+
+
+def test_alloccache_reexec_preserves_python_dash_m():
+    """ensure_alloc_cache re-execs via sys.orig_argv, so `python -m
+    pkg.mod` CLIs keep their package context (rebuilding argv from
+    sys.argv[0] ran the module as a bare script and its relative
+    imports failed — r3 review finding)."""
+    if _alloccache_so() is None:
+        import pytest
+        pytest.skip("shim not built")
+    import os
+    import subprocess
+    import sys
+    env = {k: v for k, v in os.environ.items() if k != "LD_PRELOAD"}
+    res = subprocess.run(
+        [sys.executable, "-m", "srcfinder_tpu.flow.grib_cli", "--help"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "usage" in res.stdout.lower()
