@@ -238,30 +238,56 @@ def main():
     ensure_alloc_cache()
 
     # Watchdog: the remote TPU compile service has been observed to hang
-    # indefinitely (all compiles stalled for hours on 2026-08-17); a
-    # bench that never prints is worse than a partial line. The alarm
-    # budget covers a fully cold compile set (~30-40 min observed) with
-    # slack. Override with SRCFINDER_BENCH_TIMEOUT_S=0 to disable.
-    import signal
+    # indefinitely (2026-08-17/18, backend init blocked for hours) and
+    # the hang holds the GIL, so no in-process alarm/thread can fire —
+    # a SIGALRM watchdog was measured to NEVER run during the hang.
+    # Supervisor pattern instead: the benchmark runs in a CHILD process
+    # that emits per-section partials; the parent enforces the deadline
+    # with SIGKILL (GIL-proof) and always prints exactly one JSON line,
+    # merged from whatever sections completed. The budget covers a fully
+    # cold compile set (~30-40 min observed) with slack;
+    # SRCFINDER_BENCH_TIMEOUT_S=0 disables the supervisor.
     budget = int(os.environ.get("SRCFINDER_BENCH_TIMEOUT_S", "5400"))
-    if budget > 0:
-        out_ref = {}
+    if budget > 0 and os.environ.get("SRCFINDER_BENCH_CHILD") != "1":
+        import subprocess
+        import sys
+        import threading
+        env = dict(os.environ, SRCFINDER_BENCH_CHILD="1")
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
+        merged = {}
+        final = None
+        timer = threading.Timer(budget, child.kill)
+        timer.start()
+        try:
+            for line in child.stdout:
+                line = line.strip()
+                if line.startswith("BENCHPART "):
+                    try:
+                        merged.update(json.loads(line[10:]))
+                    except ValueError:
+                        pass
+                elif line.startswith("{"):
+                    final = line
+        finally:
+            timer.cancel()
+            rc = child.wait()
+        if final is not None and rc == 0:
+            print(final)
+            return 0
+        merged.setdefault("metric", "fcn_flightline_saliency_throughput")
+        merged.setdefault("value", None)
+        merged.setdefault("unit", "Mpix/s")
+        merged.setdefault("vs_baseline", None)
+        merged["error"] = (f"watchdog: child rc={rc} within {budget}s "
+                           "(TPU compile service unresponsive?)")
+        print(json.dumps(merged))
+        return 3
 
-        def _bail(signum, frame):
-            out_ref.setdefault(
-                "metric", "fcn_flightline_saliency_throughput")
-            out_ref.setdefault("value", None)
-            out_ref.setdefault("unit", "Mpix/s")
-            out_ref.setdefault("vs_baseline", None)
-            out_ref["error"] = (f"watchdog: no result after {budget}s "
-                                "(TPU compile service unresponsive?)")
-            print(json.dumps(out_ref), flush=True)
-            os._exit(3)
-
-        signal.signal(signal.SIGALRM, _bail)
-        signal.alarm(budget)
-    else:
-        out_ref = {}
+    def _part(d):
+        # progress partials for the supervisor (harmless when absent)
+        print("BENCHPART " + json.dumps(d), flush=True)
 
     import jax
     # persistent compile cache: TPU (remote) compiles dominate cold runs
@@ -274,15 +300,41 @@ def main():
     iters = int(os.environ.get("SRCFINDER_BENCH_ITERS", "3"))
     full = os.environ.get("SRCFINDER_BENCH_FULL", "1") != "0"
 
-    out = out_ref
+    out = {}
+    if full:
+        # HOST-ONLY section first, in a CPU-pinned subprocess: any jax
+        # call in THIS process initializes the remote-TPU backend, which
+        # hangs for the whole watchdog budget when the tunnel is down
+        # (observed 2026-08-17/18) — running masks out-of-process means
+        # even a dead-tunnel BENCH line carries real data.
+        try:
+            import subprocess
+            import sys
+            code = ("import jax, json\n"
+                    "jax.config.update('jax_platforms', 'cpu')\n"
+                    "import bench\n"
+                    "out = {}\n"
+                    f"bench.bench_masks(out, {iters})\n"
+                    "print('BENCHJSON ' + json.dumps(out))\n")
+            res = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=1200,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in res.stdout.splitlines():
+                if line.startswith("BENCHJSON "):
+                    out.update(json.loads(line[10:]))
+        except Exception as e:
+            out["masks_error"] = str(e).split("\n")[0][:200]
+        _part(out)
+
     model, variables, band = bench_fcn(out, dtype_name, chunks, iters)
+    _part(out)
     if full:
         nsc = int(os.environ.get("SRCFINDER_BENCH_SCENES", "2"))
         sections = [
             ("fcn_batch", lambda: bench_fcn_batch(out, model, variables,
                                                   band, nsc, iters)),
             ("cmf", lambda: bench_cmf(out, iters)),
-            ("masks", lambda: bench_masks(out, iters)),
             ("exact_cnn", lambda: bench_exact_cnn(out, dtype_name, model,
                                                   variables, band)),
         ]
@@ -291,10 +343,11 @@ def main():
                 fn()
             except Exception as e:   # keep the line printable
                 out[f"{name}_error"] = str(e).split("\n")[0][:200]
-    import signal as _signal
-    _signal.alarm(0)
+            _part(out)
     print(json.dumps(out))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    sys.exit(main())
