@@ -124,12 +124,20 @@ def _kernel(win_ref, k1_ref, b1_ref, k2_ref, b2_ref, k3_ref, b3_ref,
         for kx in range(7):
             cols.append(_stride2_2d(pad[ky:ky + d, kx:kx + d]))
     patches = jnp.stack(cols, axis=-1).reshape(h1 * h1, 49)
-    acc = jax.lax.dot_general(
-        patches, k1_ref[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    c1 = jnp.maximum(acc + b1_ref[0].astype(jnp.float32), 0.0)
-    c1 = c1.astype(dt).reshape(h1, h1, 64)
+    # dot in 4 row chunks: one (h1*h1, 64) f32 accumulator is the VMEM
+    # peak of the whole kernel at D=256 (4.2 MB) — chunking keeps each
+    # f32 partial at ~1 MB and the bf16 result is written in place
+    b1f = b1_ref[0].astype(jnp.float32)
+    nchunk = 4 if (h1 * h1) % 4 == 0 else 1
+    rows_per = h1 * h1 // nchunk
+    parts = []
+    for ci in range(nchunk):
+        acc = jax.lax.dot_general(
+            patches[ci * rows_per:(ci + 1) * rows_per], k1_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        parts.append(jnp.maximum(acc + b1f, 0.0).astype(dt))
+    c1 = jnp.concatenate(parts, axis=0).reshape(h1, h1, 64)
 
     # ---- ceil-mode maxpool 3x3/2 ------------------------------------
     p1 = _ceil_pool3x3s2(c1)                       # (h2, h2, 64)
