@@ -32,10 +32,13 @@ def build_parser():
     for action in p._actions:
         if action.dest == "method":
             # repurpose the inherited --method flag for FCN paths
-            action.choices = ["auto", "shift", "phase", "dilated"]
+            action.choices = ["auto", "shift", "phase", "phase-blocked",
+                              "dilated"]
             action.default = "auto"
-            action.help = ("auto (phase when scale==32), shift "
-                           "(per-shift batches), phase, dilated")
+            action.help = ("auto (phase when scale==32; line-blocked past "
+                           "SRCFINDER_FCN_MAX_LINES lines), shift "
+                           "(per-shift batches), phase, phase-blocked "
+                           "(halo-exact long-flightline mode), dilated")
         elif action.dest == "flightline":
             action.nargs = "+"
             action.help = "Flightline ENVI IMG path(s)"

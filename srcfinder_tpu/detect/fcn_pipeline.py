@@ -32,8 +32,24 @@ from ..models.googlenet import GoogLeNet
 from ..models.fcn import fcn_apply
 
 __all__ = ["fcn_shift_saliency", "fcn_phase_saliency",
-           "fcn_phase_saliency_batch", "fcn_dilated_saliency",
-           "stitch_stack", "fcn_saliency_image"]
+           "fcn_phase_saliency_batch", "fcn_phase_saliency_blocked",
+           "fcn_dilated_saliency", "stitch_stack", "fcn_saliency_image"]
+
+#: line count above which fcn_saliency_image reroutes the phase path
+#: through the halo-blocked variant: single-scene HBM scales linearly in
+#: flightline length (~1.7 MB/line at width 669, bf16 — scene-batch 4 =
+#: 11204 lines needed 19.4 GB on the 16 GB v5e), so ~7680 lines is the
+#: conservative single-allocation ceiling.
+MAX_UNBLOCKED_LINES = 7680
+
+#: sufficient halo (input lines) for exact blocked evaluation: the
+#: trunk's theoretical receptive field — conv1(7,s2)=7, pool1(3,s2)=11,
+#: conv3(3)=19, pool2(3,s2)=27, inc3a/b +2*8 each = 59, pool3(3,s2)=75,
+#: inc4a-e +2*16 each = 235, pool4(2,s2)=251, inc5a/b +2*32 each = 379 —
+#: plus one 32-pixel shift-grid offset on each side (the stitch draws
+#: output row q from shifts whose view starts up to scale-1 rows above),
+#: rounded up to a multiple of the 32-line phase grid.
+TRUNK_HALO = 448
 
 
 def divisibility_pad(img, scale: int):
@@ -354,6 +370,68 @@ def fcn_phase_saliency_batch(model: GoogLeNet, variables, imgs,
                                        tuple(chunks))
 
 
+def fcn_phase_saliency_blocked(model: GoogLeNet, variables, img,
+                               scale: int = 32, block: int = 4096,
+                               halo: int = TRUNK_HALO, chunks=(2, 4, 8, 1),
+                               mesh=None, mesh_axes=None):
+    """Long-flightline phase saliency: line-blocked with an exact halo.
+
+    Real flightlines run 10-20k lines; the single-window phase path's
+    activations scale linearly in line count (stage-3 features alone are
+    ~1.15 MB/line at width 669) and overflow the v5e's 16 GB HBM past
+    ~9k lines. This variant streams fixed-size row windows of
+    ``block + 2*halo`` input lines through the SAME fused executable
+    (one compile, bounded HBM) and keeps each window's central ``block``
+    rows.
+
+    Exactness: every kept output row is at least ``halo`` input rows
+    from any artificial window cut, and ``halo`` >= the trunk's
+    receptive field + shift-grid jitter (:data:`TRUNK_HALO`), so kept
+    rows see exactly the same input support as the unblocked pass —
+    including the true flightline top/bottom edges, which fall inside
+    the first/last window and are handled by the canvas padding
+    identically to the unblocked path. Window starts are clamped to the
+    32-line phase grid so each row keeps its shift phase. The one
+    deviation: when the line count is NOT a multiple of ``scale``, the
+    flightline is pre-padded to the phase grid, so the last window sees
+    ``scale`` extra zero rows below the true bottom edge vs the
+    unblocked pass — with trained BatchNorm the bottom ``halo`` rows
+    then carry the same edge caveat already recorded for
+    :func:`fcn_phase_saliency` (zero background is a fixed point at
+    fresh init; bounded otherwise). At multiple-of-``scale`` line
+    counts the paths agree everywhere (asserted in tests/test_detect.py
+    with trained-like BatchNorm).
+
+    Reference: cnn/fcn_pred_pipeline.py processes one whole flightline
+    per DataLoader item and has no long-scene story; this is the
+    TPU-native replacement (VERDICT r2 / SURVEY A6 long-flightline
+    scaling).
+    """
+    if block % scale or halo % scale:
+        raise ValueError("block and halo must be multiples of scale")
+    img = jnp.asarray(img)
+    h0, w0 = img.shape
+    win = block + 2 * halo
+    if h0 <= win:
+        return fcn_phase_saliency(model, variables, img, scale,
+                                  chunks=chunks, mesh=mesh,
+                                  mesh_axes=mesh_axes)
+    # pre-pad to the phase grid so every clamped window start stays on it
+    pad0 = (-h0) % scale
+    if pad0:
+        img = jnp.pad(img, ((0, pad0), (0, 0)))
+    hp = h0 + pad0
+    rows = []
+    for r0 in range(0, hp, block):
+        n = min(block, hp - r0)
+        s = max(0, min(r0 - halo, hp - win))
+        sal = fcn_phase_saliency(model, variables, img[s:s + win], scale,
+                                 chunks=chunks, mesh=mesh,
+                                 mesh_axes=mesh_axes)
+        rows.append(sal[r0 - s: r0 - s + n])
+    return jnp.concatenate(rows, axis=0)[:h0]
+
+
 @functools.partial(jax.jit, static_argnames=("model",))
 def _dilated_probs(model: GoogLeNet, variables, canvas):
     feats = model.apply(variables, canvas[None, :, :, None], train=False,
@@ -400,11 +478,16 @@ def fcn_saliency_image(img, variables, model_name: str = "multi_64",
     re-stamped (reference: fcn_pred_pipeline.py:219-242).
 
     ``method``: 'shift' (per-shift batches, any scale), 'phase'
-    (phase-deduplicated fast path, scale 32 only), 'dilated' (a-trous
-    dense pass, scale 32 only), or 'auto' (phase when scale == 32 —
-    same measured TPU speed as dilated with a 100x tighter trained-BN
-    edge bound).
+    (phase-deduplicated fast path, scale 32 only), 'phase-blocked'
+    (halo-exact line-blocked phase path for long flightlines, scale 32
+    only), 'dilated' (a-trous dense pass, scale 32 only), or 'auto'
+    (phase when scale == 32 — same measured TPU speed as dilated with a
+    100x tighter trained-BN edge bound). 'auto' and 'phase' reroute to
+    the blocked path past :data:`MAX_UNBLOCKED_LINES` lines (override
+    with ``SRCFINDER_FCN_MAX_LINES``) so 10-20k-line flightlines stay
+    inside the v5e's 16 GB HBM.
     """
+    import os
     from .preprocess import preprocess_ch4, norm_for_model
     from ..models.googlenet import fold_inference
 
@@ -417,10 +500,15 @@ def fcn_saliency_image(img, variables, model_name: str = "multi_64",
     x = preprocess_ch4(jnp.asarray(img, dtype), mean, std)
     if method == "auto":
         method = "phase" if scale == 32 else "shift"
+    if method == "phase" and img.shape[0] > int(
+            os.environ.get("SRCFINDER_FCN_MAX_LINES", MAX_UNBLOCKED_LINES)):
+        method = "phase-blocked"
     if method == "dilated":
         sal = fcn_dilated_saliency(model, variables, x, scale=scale)
     elif method == "phase":
         sal = fcn_phase_saliency(model, variables, x, scale=scale)
+    elif method == "phase-blocked":
+        sal = fcn_phase_saliency_blocked(model, variables, x, scale=scale)
     else:
         sal = fcn_shift_saliency(model, variables, x, scale=scale,
                                  batch=batch)

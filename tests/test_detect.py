@@ -384,6 +384,58 @@ def test_fcn_phase_trained_bn_deviation_bounded(small_model, rng):
     assert np.abs(ref - got).max() < 1e-3
 
 
+def test_fcn_phase_blocked_matches_unblocked(small_model, rng):
+    """Long-flightline line-blocked phase path == unblocked, with
+    trained-like BN (the hard case: every cut row would deviate if the
+    halo under-covered the trunk's receptive field). Uses the real
+    TRUNK_HALO so this also pins the receptive-field arithmetic."""
+    from srcfinder_tpu.detect.fcn_pipeline import (
+        TRUNK_HALO, fcn_phase_saliency, fcn_phase_saliency_blocked)
+    model, variables = small_model
+    vt = _trained_like(variables)
+    h0 = 2 * 928                    # two 1824-line windows, halo 448
+    img = rng.normal(size=(h0, 17)).astype(np.float32)
+    ref = np.asarray(fcn_phase_saliency(model, vt, jnp.asarray(img)))
+    got = np.asarray(fcn_phase_saliency_blocked(
+        model, vt, jnp.asarray(img), block=928, halo=TRUNK_HALO))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+
+def test_fcn_phase_blocked_offgrid_lines(small_model, rng):
+    """Line counts off the 32-line phase grid exercise the pre-pad
+    branch: rows above the bottom halo still match the unblocked pass
+    (trained-like BN); the bottom halo carries the documented extra-
+    zero-rows edge caveat, bounded like the phase path's own."""
+    from srcfinder_tpu.detect.fcn_pipeline import (
+        TRUNK_HALO, fcn_phase_saliency, fcn_phase_saliency_blocked)
+    model, variables = small_model
+    vt = _trained_like(variables)
+    h0 = 2 * 928 - 6                # pre-pads 6 rows to reach the grid
+    img = rng.normal(size=(h0, 17)).astype(np.float32)
+    ref = np.asarray(fcn_phase_saliency(model, vt, jnp.asarray(img)))
+    got = np.asarray(fcn_phase_saliency_blocked(
+        model, vt, jnp.asarray(img), block=928, halo=TRUNK_HALO))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got[:-TRUNK_HALO], ref[:-TRUNK_HALO],
+                               rtol=2e-5, atol=1e-6)
+    # bottom halo: extra-zero-rows canvas edge, measured 3.2e-3 max on
+    # this configuration; bound leaves headroom for platform variation
+    assert np.abs(got[-TRUNK_HALO:] - ref[-TRUNK_HALO:]).max() < 2e-2
+
+
+def test_fcn_phase_blocked_short_scene_falls_back(small_model, rng):
+    """Scenes shorter than one window route through the unblocked path
+    unchanged (bit-identical, same executable)."""
+    from srcfinder_tpu.detect.fcn_pipeline import (
+        fcn_phase_saliency, fcn_phase_saliency_blocked)
+    model, variables = small_model
+    img = rng.normal(size=(20, 45)).astype(np.float32)
+    ref = np.asarray(fcn_phase_saliency(model, variables, jnp.asarray(img)))
+    got = np.asarray(fcn_phase_saliency_blocked(model, variables,
+                                                jnp.asarray(img)))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_fcn_phase_bf16_close_to_f32(small_model, rng):
     """bf16 trunk (the TPU benchmark mode, MXU-native) vs f32: saliency
     probability delta bounded (measured 1.2e-4 max on trained-like
