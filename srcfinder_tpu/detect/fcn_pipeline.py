@@ -42,6 +42,22 @@ __all__ = ["fcn_shift_saliency", "fcn_phase_saliency",
 #: conservative single-allocation ceiling.
 MAX_UNBLOCKED_LINES = 7680
 
+#: pixel-count forms of the same ceilings, for scenes wider than the
+#: 669-column benchmark (phase-path HBM scales with H*W, ~2.5 KB/px
+#: bf16): reroute past MAX_UNBLOCKED_PX; blocked windows are sized to
+#: ~WINDOW_BUDGET_PX (scene-batch 2 = 3.75 Mpx is chip-proven to fit).
+MAX_UNBLOCKED_PX = 5_000_000
+WINDOW_BUDGET_PX = 3_500_000
+
+
+def _auto_block(width: int, halo: int, scale: int,
+                budget_px: int = WINDOW_BUDGET_PX) -> int:
+    """Largest block (multiple of ``scale``) whose window
+    ``(block + 2*halo) * width`` stays under the HBM-proven pixel
+    budget; floors at one ``scale`` row-group for extreme widths."""
+    block = (budget_px // max(width, 1)) - 2 * halo
+    return max(scale, (block // scale) * scale)
+
 #: sufficient halo (input lines) for exact blocked evaluation: the
 #: trunk's theoretical receptive field — conv1(7,s2)=7, pool1(3,s2)=11,
 #: conv3(3)=19, pool2(3,s2)=27, inc3a/b +2*8 each = 59, pool3(3,s2)=75,
@@ -371,7 +387,7 @@ def fcn_phase_saliency_batch(model: GoogLeNet, variables, imgs,
 
 
 def fcn_phase_saliency_blocked(model: GoogLeNet, variables, img,
-                               scale: int = 32, block: int = 4096,
+                               scale: int = 32, block: int | None = None,
                                halo: int = TRUNK_HALO, chunks=(2, 4, 8, 1),
                                mesh=None, mesh_axes=None):
     """Long-flightline phase saliency: line-blocked with an exact halo.
@@ -382,7 +398,10 @@ def fcn_phase_saliency_blocked(model: GoogLeNet, variables, img,
     ~9k lines. This variant streams fixed-size row windows of
     ``block + 2*halo`` input lines through the SAME fused executable
     (one compile, bounded HBM) and keeps each window's central ``block``
-    rows.
+    rows. ``block=None`` (default) sizes the window to the chip-proven
+    pixel budget for the scene's width (:func:`_auto_block` — 4320
+    lines at the 669-column benchmark width, shrinking for wider
+    scenes so window HBM stays bounded).
 
     Exactness: every kept output row is at least ``halo`` input rows
     from any artificial window cut, and ``halo`` >= the trunk's
@@ -407,10 +426,14 @@ def fcn_phase_saliency_blocked(model: GoogLeNet, variables, img,
     TPU-native replacement (VERDICT r2 / SURVEY A6 long-flightline
     scaling).
     """
-    if block % scale or halo % scale:
-        raise ValueError("block and halo must be multiples of scale")
     img = jnp.asarray(img)
     h0, w0 = img.shape
+    if block is None:
+        # size windows to the HBM-proven pixel budget (block 4096 at the
+        # 669-column benchmark width; shrinks for wider scenes)
+        block = _auto_block(w0, halo, scale)
+    if block % scale or halo % scale:
+        raise ValueError("block and halo must be multiples of scale")
     win = block + 2 * halo
     if h0 <= win:
         return fcn_phase_saliency(model, variables, img, scale,
@@ -500,8 +523,11 @@ def fcn_saliency_image(img, variables, model_name: str = "multi_64",
     x = preprocess_ch4(jnp.asarray(img, dtype), mean, std)
     if method == "auto":
         method = "phase" if scale == 32 else "shift"
-    if method == "phase" and img.shape[0] > int(
-            os.environ.get("SRCFINDER_FCN_MAX_LINES", MAX_UNBLOCKED_LINES)):
+    if method == "phase" and (
+            img.shape[0] > int(os.environ.get("SRCFINDER_FCN_MAX_LINES",
+                                              MAX_UNBLOCKED_LINES))
+            or img.shape[0] * img.shape[1] > int(
+                os.environ.get("SRCFINDER_FCN_MAX_PX", MAX_UNBLOCKED_PX))):
         method = "phase-blocked"
     if method == "dilated":
         sal = fcn_dilated_saliency(model, variables, x, scale=scale)

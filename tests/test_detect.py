@@ -423,6 +423,21 @@ def test_fcn_phase_blocked_offgrid_lines(small_model, rng):
     assert np.abs(got[-TRUNK_HALO:] - ref[-TRUNK_HALO:]).max() < 2e-2
 
 
+def test_fcn_blocked_auto_block_sizing():
+    """Window sizing honors the HBM pixel budget across scene widths
+    and stays on the 32-line phase grid."""
+    from srcfinder_tpu.detect.fcn_pipeline import (
+        TRUNK_HALO, WINDOW_BUDGET_PX, _auto_block)
+    for width in (333, 669, 1024, 1500, 4096):
+        block = _auto_block(width, TRUNK_HALO, 32)
+        assert block % 32 == 0 and block >= 32
+        if block > 32:  # not floored: window obeys the budget
+            assert (block + 2 * TRUNK_HALO) * width <= WINDOW_BUDGET_PX
+        # one more row-group would bust the budget
+        assert (block + 32 + 2 * TRUNK_HALO) * width > WINDOW_BUDGET_PX
+    assert _auto_block(669, TRUNK_HALO, 32) == 4320
+
+
 def test_fcn_phase_blocked_short_scene_falls_back(small_model, rng):
     """Scenes shorter than one window route through the unblocked path
     unchanged (bit-identical, same executable)."""
