@@ -90,8 +90,25 @@ def _run_campaign(args):
             xs[k, :b.shape[0], :b.shape[1]] = np.asarray(
                 preprocess_ch4(jnp.asarray(b, dtype), mean, std),
                 np.float32)
-        sals = np.asarray(fcn_phase_saliency_batch(
-            model, variables, jnp.asarray(xs, dtype)))
+        # HBM guard: a long/wide scene (or too many per group) would
+        # OOM the batched executable — run such groups scene-by-scene,
+        # through the halo-blocked variant when a single scene alone
+        # exceeds the unblocked ceiling (fcn_pipeline)
+        from .fcn_pipeline import (MAX_UNBLOCKED_PX, fcn_phase_saliency,
+                                   fcn_phase_saliency_blocked)
+        max_px = int(os.environ.get("SRCFINDER_FCN_MAX_PX",
+                                    MAX_UNBLOCKED_PX))
+        if hmax * wmax * len(group) > max_px:
+            print(f"[INFO] {len(group)}x{hmax}x{wmax} exceeds the "
+                  "batched-HBM budget; running scenes singly")
+            sal_fn = (fcn_phase_saliency_blocked
+                      if hmax * wmax > max_px else fcn_phase_saliency)
+            sals = np.stack([np.asarray(sal_fn(model, variables,
+                                               jnp.asarray(xs[k], dtype)))
+                             for k in range(len(group))])
+        else:
+            sals = np.asarray(fcn_phase_saliency_batch(
+                model, variables, jnp.asarray(xs, dtype)))
         for k, (pth, b) in enumerate(zip(group, bands)):
             sal = sals[k, :b.shape[0], :b.shape[1]].astype(np.float32)
             sal = np.where(b == -9999.0, -9999.0, sal)

@@ -309,6 +309,44 @@ def test_fcn_cli_campaign_mode(tmp_path, rng):
     assert ((sal2[sal2 != -9999] >= 0) & (sal2[sal2 != -9999] <= 1)).all()
 
 
+def test_fcn_cli_campaign_hbm_guard(tmp_path, rng, monkeypatch):
+    """A campaign group over the HBM pixel budget runs scenes singly
+    (halo-blocked when one scene alone exceeds it); products still
+    match the single-scene CLI."""
+    import jax
+    from srcfinder_tpu.core import envi as envi_io
+    from srcfinder_tpu.detect import fcn_cli
+    from srcfinder_tpu.detect.cnn_cli import save_weights
+    from srcfinder_tpu.models import googlenet
+
+    m = googlenet(num_classes=2, dropout=0.0, dropout_aux=0.0)
+    wf = str(tmp_path / "w.npz")
+    save_weights(wf, m.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 1)), train=False))
+    meta = {"data ignore value": -9999}
+    paths = []
+    for i in range(2):
+        band = np.abs(rng.normal(size=(20, 45))).astype(np.float32) * 300
+        pth = str(tmp_path / f"ang2021010{i}t000000_cmf_v2y1_img")
+        envi_io.save_envi(pth + ".hdr", band[..., None], metadata=meta,
+                          interleave="bip")
+        paths.append(pth)
+
+    monkeypatch.setenv("SRCFINDER_FCN_MAX_PX", "500")  # force the guard
+    out_g = str(tmp_path / "guarded")
+    rc = fcn_cli.main(paths + ["-m", "multi_64", "-w", wf, "-o", out_g])
+    assert rc == 0
+    monkeypatch.delenv("SRCFINDER_FCN_MAX_PX")
+    out_s = str(tmp_path / "single")
+    rc = fcn_cli.main([paths[0], "-m", "multi_64", "-w", wf, "-o", out_s,
+                       "--method", "phase"])
+    assert rc == 0
+    name = os.path.basename(paths[0]) + "_saliency"
+    got = np.asarray(envi_io.open_envi(os.path.join(out_g, name)).load())
+    ref = np.asarray(envi_io.open_envi(os.path.join(out_s, name)).load())
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_downsample_cli(tmp_path, rng):
     from srcfinder_tpu.core import envi as envi_io
     from srcfinder_tpu.detect import downsample_cli
