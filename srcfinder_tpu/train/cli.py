@@ -34,6 +34,10 @@ def build_parser():
                    help="weights .npz from a previous run to restore")
     p.add_argument("--start-epoch", type=int, default=0,
                    help="epoch to continue the LR schedule from")
+    p.add_argument("--devices", type=int, default=None,
+                   help="data-parallel over the first N devices (batches "
+                        "shard on their leading axis; gradients and "
+                        "BatchNorm stats reduce across the mesh)")
     return p
 
 
@@ -48,7 +52,8 @@ def main(argv=None):
                       epochs=args.epochs, outroot=args.outroot,
                       use_sam=not args.no_sam, batch_size=args.batch,
                       train_all=args.train_all, seed=args.seed,
-                      resume=args.resume, start_epoch=args.start_epoch)
+                      resume=args.resume, start_epoch=args.start_epoch,
+                      devices=args.devices)
     _, outdir, metrics = train_experiment(cfg)
     print(f"experiment dir: {outdir}")
     print(f"best-F1 threshold {metrics['threshold']:.3f} "

@@ -31,12 +31,27 @@ class TrainConfig:
     def __init__(self, dataroot, campaign, lr=1e-4, augment="default",
                  crop=256, epochs=100, outroot="cnn_output", use_sam=True,
                  batch_size=16, train_all=False, seed=0, aux_weight=0.0,
-                 resume=None, start_epoch=0):
+                 resume=None, start_epoch=0, devices=None):
         """``resume``: a weights .npz from a previous run — params and
         batch_stats are restored before training (the reference resumes
         by loading the every-5-epochs torch.save,
         experiment_script_all.py:406-408). ``start_epoch`` continues the
-        StepLR schedule from that epoch."""
+        StepLR schedule from that epoch.
+
+        ``devices``: run data-parallel over the first N devices of a
+        ``jax.sharding.Mesh`` — batches shard on their leading axis,
+        state replicates, and the SAME jitted step runs: GSPMD inserts
+        the gradient/BatchNorm cross-device reductions, so the math is
+        the global-batch math (cross-replica BN included), not N
+        independent replicas (the multichip replacement for the
+        reference's single-GPU ``.to(device)`` training,
+        experiment_script_all.py:300-330). Batches not divisible by N
+        (the final short batch) run replicated on the same step.
+        Runs are deterministic for a fixed N, but N=1 vs N>1 final
+        params differ ~1% in Frobenius norm: sharded conv reductions
+        reassociate sums, and ULP-level forward deltas reroute
+        gradients at ReLU/maxpool boundaries (torch DataParallel has
+        the same property vs single-GPU)."""
         self.__dict__.update(locals())
         del self.__dict__["self"]
 
@@ -161,6 +176,25 @@ def train_experiment(cfg: TrainConfig, progress=print):
     step = make_step(model, optimizer, jnp.asarray(weights),
                      aux_weight=cfg.aux_weight)
 
+    if cfg.devices:
+        from ..parallel.mesh import (make_mesh, batch_sharding,
+                                     replicated_sharding)
+        mesh = make_mesh(cfg.devices)
+        bsh = batch_sharding(mesh)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        progress(f"Data-parallel over {cfg.devices} devices "
+                 f"({jax.devices()[0].platform})")
+
+        def place(images, labels):
+            images, labels = jnp.asarray(images), jnp.asarray(labels)
+            if images.shape[0] % cfg.devices == 0:
+                images = jax.device_put(images, bsh)
+                labels = jax.device_put(labels, bsh)
+            return images, labels
+    else:
+        def place(images, labels):
+            return jnp.asarray(images), jnp.asarray(labels)
+
     batch_losses = [["epoch", "batch", "loss"]]
     train_epoch_losses = [["epoch", "mean train loss"]]
     val_epoch_losses = [["epoch", "mean val loss"]]
@@ -173,8 +207,8 @@ def train_experiment(cfg: TrainConfig, progress=print):
         for it, (images, labels) in enumerate(
                 train_ds.batches(cfg.batch_size, shuffle=True)):
             key, sub = jax.random.split(key)
-            state, loss = step(state, jnp.asarray(images),
-                               jnp.asarray(labels), lr, sub)
+            images, labels = place(images, labels)
+            state, loss = step(state, images, labels, lr, sub)
             lossf = float(loss)
             epoch_loss += lossf
             nb += 1

@@ -258,6 +258,56 @@ def test_tiny_experiment_geotiff(tmp_path, rng):
     assert 0 <= metrics["f1"] <= 1
 
 
+def test_data_parallel_matches_single_device(tmp_path, rng):
+    """``devices=2`` trains the global-batch math — the multichip
+    replacement for the reference's single-GPU training loop
+    (experiment_script_all.py:300-330).
+
+    Elementwise param equality with the single-device run is NOT the
+    right assertion: GSPMD splits conv reductions across devices, the
+    reassociated sums differ by ~1 ULP, and any activation that lands
+    within that of a ReLU/maxpool boundary routes its gradient
+    differently (torch DataParallel vs single-GPU has the same
+    property). Measured on this fixture: single-vs-dp final params
+    differ 1.25% in Frobenius norm while dp-vs-dp is bit-identical.
+    So assert the things that ARE semantically guaranteed:
+
+    - batch-0 loss (pure forward on the global batch, cross-replica BN
+      included) matches the single-device forward to float tolerance —
+      per-shard BN would be off at O(1);
+    - final BN running stats (averages over the global batch, washing
+      out per-element routing flips) match to 2% Frobenius;
+    - final params land within 5% Frobenius (same trajectory, not a
+      diverged replica);
+    - a second dp run is bit-identical (the dp path is deterministic).
+    """
+    from srcfinder_tpu.train import TrainConfig, train_experiment
+    droot = _make_tile_campaign(tmp_path, rng, size=40)
+    kw = dict(lr=1e-3, augment="augA", crop=32, epochs=1, use_sam=True,
+              batch_size=4)
+    states, losses = {}, {}
+    for name, dev in (("s", None), ("d", 2), ("d2", 2)):
+        cfg = TrainConfig(droot, "COVID_QC", outroot=str(tmp_path / name),
+                          devices=dev, **kw)
+        st, outdir, _ = train_experiment(cfg, progress=lambda *a: None)
+        states[name] = st
+        with open(os.path.join(outdir, "batch_losses.csv")) as f:
+            rows = f.read().strip().splitlines()
+        losses[name] = float(rows[1].split(",")[2])  # epoch 0, batch 0
+
+    # Global-batch forward parity (would be O(1) off with per-shard BN).
+    assert abs(losses["d"] - losses["s"]) < 1e-4 * max(1.0, losses["s"])
+
+    def frob_rel(a, b):
+        num = optax.global_norm(jax.tree.map(lambda x, y: x - y, a, b))
+        return float(num) / float(optax.global_norm(a))
+
+    assert frob_rel(states["s"].params, states["d"].params) < 0.05
+    assert frob_rel(states["s"].batch_stats, states["d"].batch_stats) < 0.02
+    # Determinism: identical dp runs are bit-identical.
+    assert frob_rel(states["d"].params, states["d2"].params) == 0.0
+
+
 def test_resume_from_checkpoint(tmp_path, rng):
     """Resume semantics (the reference resumes by loading the
     every-5-epochs torch.save, experiment_script_all.py:406-408):
