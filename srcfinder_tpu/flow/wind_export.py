@@ -233,3 +233,47 @@ def parse_wind_filename_date(fname: str):
     if m:
         return _dt.datetime.strptime(m[1], "%Y%m%d%H%M")
     raise ValueError(f"unrecognized wind filename {base}")
+
+
+def default_nc_name(in_fname: str) -> str:
+    """The reference's default output name: the granule basename with
+    dots/spaces mapped to underscores, plus ``.nc``
+    (get_wind_bands.py:40-45)."""
+    base = _os.path.splitext(_os.path.basename(in_fname))[0]
+    return base.replace(".", "_").replace(" ", "_") + ".nc"
+
+
+def main(argv=None):
+    """``srcfinder-wind-nc``: one wind granule (GRIB2 or npz) -> wind
+    bands regridded to EPSG:4326 as CF/ACDD NetCDF — the
+    ``get_wind_bands.py -i GRANULE [-o OUT.nc]`` script surface
+    (reference: msf_flow/wind_processor/get_wind_bands.py:26-45,304-433).
+
+    Deviations (recorded in PARITY.md): band subsetting/regridding is
+    done on the decoded grid (``flow/windgrid.py``), not via
+    GDAL.ReprojectImage; ``--alt 80`` selects the HRRR 80 m u/v pair
+    the reference extracts by band number (:345)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="srcfinder-wind-nc",
+        description="Extract wind bands from a HRRR/RTMA granule to a "
+                    "regridded CF NetCDF file")
+    p.add_argument("-i", "--infile", required=True,
+                   help="path to input granule (.grib2 or .npz)")
+    p.add_argument("-o", "--outfile", default=None,
+                   help="path to output NetCDF file (default: granule "
+                        "basename, dots->underscores, + .nc)")
+    p.add_argument("--alt", type=int, default=10, choices=(10, 80),
+                   help="wind altitude in meters (80 m: HRRR only)")
+    p.add_argument("--res", type=float, default=GRID_RES_DEG,
+                   help="target grid resolution in degrees")
+    p.add_argument("--engine", default="auto",
+                   choices=("auto", "netcdf4", "classic"),
+                   help="netcdf4 = HDF5/zlib (the reference's format)")
+    args = p.parse_args(argv)
+    out = args.outfile or default_nc_name(args.infile)
+    wind_grid_to_nc(args.infile, out, alt=args.alt, res=args.res,
+                    engine=args.engine)
+    print(out)
+    return 0

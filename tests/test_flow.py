@@ -806,6 +806,25 @@ def test_wind_export_nc4(tmp_path, rng):
             g.valid_date.replace(tzinfo=dt.timezone.utc).timestamp())
 
 
+def test_wind_nc_cli(tmp_path, rng):
+    """``srcfinder-wind-nc`` = the ``get_wind_bands.py -i GRANULE
+    [-o OUT.nc]`` script surface (reference:
+    msf_flow/wind_processor/get_wind_bands.py:26-45); the default
+    output name maps dots/spaces to underscores (:40-45)."""
+    from srcfinder_tpu.flow import wind_export
+    g = make_grid(rng, ny=8, nx=10)
+    p = write_grid(tmp_path, "w.npz", g)
+    out = str(tmp_path / "o.nc")
+    assert wind_export.main(["-i", p, "-o", out,
+                             "--engine", "classic"]) == 0
+    from scipy.io import netcdf_file
+    with netcdf_file(out, "r") as nc:
+        assert nc.variables["u"].shape == (len(nc.variables["lat"][:]),
+                                           len(nc.variables["lon"][:]))
+    assert (wind_export.default_nc_name("hrrr.2020092421.wrfsfcf00.grib2")
+            == "hrrr_2020092421_wrfsfcf00.nc")
+
+
 def test_parse_wind_filename_date():
     from srcfinder_tpu.flow.wind_export import parse_wind_filename_date
     import datetime as dt2
