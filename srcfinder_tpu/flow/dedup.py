@@ -22,7 +22,10 @@ __all__ = ["teale_albers", "circle_overlap_fraction", "overlap_matrix",
            "calculate_overlap", "filter_plumes_recursive", "filter_plumes",
            "remove_duplicate_plumes"]
 
-MAX_OVERLAP_DEFAULT = 0.0      # any overlap triggers filtering
+#: max allowable fractional overlap between plume search radii before
+#: the duplicate filter engages (reference:
+#: remove_duplicate_plumes.py:36 ``max_overlap_default = .30``)
+MAX_OVERLAP_DEFAULT = 0.30
 BUFFER_M = 150.0
 
 # California Teale Albers (EPSG:3310): NAD83/GRS80 Albers equal-area
@@ -150,10 +153,12 @@ def filter_plumes_recursive(overlaps, data, flux_colname,
                                    max_overlap, r)
 
 
-def filter_plumes(data, flux_colname, r: float = BUFFER_M):
+def filter_plumes(data, flux_colname, r: float = BUFFER_M,
+                  max_overlap: float = MAX_OVERLAP_DEFAULT):
     """One uniqueID group: keep plumes with flux > 1 in some flux column,
     then recursively deduplicate (reference:
-    remove_duplicate_plumes.py:448-475)."""
+    remove_duplicate_plumes.py:448-475; its filter_plumes pins
+    max_overlap_default at :351)."""
     mask = np.zeros(len(data), bool)
     for col in flux_colname:
         vals = pd.to_numeric(data[col], errors="coerce")
@@ -162,10 +167,12 @@ def filter_plumes(data, flux_colname, r: float = BUFFER_M):
     if len(data) == 0:
         return data
     overlaps = calculate_overlap(data, r)
-    return filter_plumes_recursive(overlaps, data, flux_colname, r=r)
+    return filter_plumes_recursive(overlaps, data, flux_colname,
+                                   max_overlap=max_overlap, r=r)
 
 
-def remove_duplicate_plumes(df, r: float = BUFFER_M):
+def remove_duplicate_plumes(df, r: float = BUFFER_M,
+                            max_overlap: float = MAX_OVERLAP_DEFAULT):
     """Full pipeline over a plume-list dataframe (reference:
     remove_duplicate_plumes.py:390-500): build uniqueID = facility+line,
     uniquify source ids with the candidate suffix, group, filter each
@@ -193,7 +200,7 @@ def remove_duplicate_plumes(df, r: float = BUFFER_M):
 
     out = []
     for _, group in df.groupby("uniqueID"):
-        kept = filter_plumes(group, flux_colname, r)
+        kept = filter_plumes(group, flux_colname, r, max_overlap)
         if len(kept):
             out.append(kept)
     if not out:

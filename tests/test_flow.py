@@ -825,6 +825,94 @@ def test_wind_nc_cli(tmp_path, rng):
             == "hrrr_2020092421_wrfsfcf00.nc")
 
 
+def test_stage_clis_cluster_dedup(tmp_path):
+    """srcfinder-cluster / srcfinder-dedup = the standalone worker
+    scripts (cluster_incr_nn.py:20-29, remove_duplicate_plumes.py:47-55)
+    as thin CLIs over the tested APIs."""
+    from srcfinder_tpu.flow import stage_clis
+
+    pcsv = tmp_path / "p.csv"
+    pd.DataFrame({
+        "Candidate ID": ["ang20200924t211102-1", "ang20200924t211102-2",
+                         "ang20200924t211102-3"],
+        "Plume Latitude (deg)": [34.5, 34.5001, 35.2],
+        "Plume Longitude (deg)": [-118.5, -118.5001, -118.0],
+    }).to_csv(pcsv, index=False)
+    outc = tmp_path / "clustered.csv"
+    assert stage_clis.cluster_main(
+        [str(pcsv), str(outc), "-r", "150", "-v"]) == 0
+    got = pd.read_csv(outc)
+    assert "Source ID" in got
+    assert got["Source ID"][0] == got["Source ID"][1]
+    assert got["Source ID"][0] != got["Source ID"][2]
+    assert (tmp_path / "clustered.csv.pdf").is_file()
+
+    dcsv = tmp_path / "d.csv"
+    pd.DataFrame({
+        "Line name": ["l1"] * 3,
+        "Candidate ID": ["ang-01", "ang-02", "ang-03"],
+        "Source ID": ["S1", "S2", "S3"],
+        "Plume Latitude (deg)": [36.0, 36.0001, 36.5],
+        "Plume Longitude (deg)": [-120.0, -120.0001, -120.5],
+        "Emission Rate (kg/hr) [HRRR 10 m]": [100.0, 50.0, 70.0],
+    }).to_csv(dcsv, index=False)
+    outd = tmp_path / "deduped.csv"
+    assert stage_clis.dedup_main([str(dcsv), str(outd)]) == 0
+    kept = set(pd.read_csv(outd)["Candidate ID"])
+    assert kept == {"ang-01", "ang-03"}
+    # --max_overlap 1.0: nothing exceeds the threshold, all three kept
+    outd2 = tmp_path / "deduped2.csv"
+    assert stage_clis.dedup_main([str(dcsv), str(outd2),
+                                  "--max_overlap", "1.0"]) == 0
+    assert len(pd.read_csv(outd2)) == 3
+
+
+def test_stage_clis_winds(tmp_path, rng):
+    """srcfinder-windspeed / srcfinder-station-winds / srcfinder-wind-qc
+    = running_windspeed.py:14-25, station_winds.py:17-25 and
+    wind_quality_check.py:22-28 surfaces."""
+    from srcfinder_tpu.flow import stage_clis
+
+    winds = tmp_path / "winds"
+    hdir = winds / "hrrr" / "20200924"
+    os.makedirs(hdir)
+    for hh in ("20", "21", "22"):
+        flow.write_wind_grid_npz(
+            str(hdir / f"hrrr.20200924{hh}.wrfsfcf00.npz"),
+            make_grid(rng, u0=3.0, v0=4.0))
+    pcsv = tmp_path / "ang_plumes_minppmm500.csv"
+    pd.DataFrame([{
+        "Candidate ID": "ang20200924t211102-1",
+        "Plume Latitude (deg)": 34.5,
+        "Plume Longitude (deg)": -118.5,
+        "AvgIMEdivFetch20 (kg/m)": 0.02,
+        "StdIMEdivFetch20 (kg/m)": 0.004,
+        "Aspect ratio20": 0.5,
+    }]).to_csv(pcsv, index=False)
+
+    outw = tmp_path / "enriched.csv"
+    assert stage_clis.windspeed_main(
+        ["-p", str(tmp_path / "*plumes*.csv"), "-w", str(winds / "hrrr"),
+         "--wind-ext", ".npz", "-o", str(outw)]) == 0
+    got = pd.read_csv(outw)
+    er = float(got["Emission Rate (kg/hr) [HRRR 10 m]"][0])
+    assert er == pytest.approx(0.02 * 5.0 * 3600, rel=0.05)
+
+    outs = tmp_path / "stations.csv"
+    assert stage_clis.station_winds_main(
+        [str(pcsv), str(outs), "faketoken"]) == 0
+    got = pd.read_csv(outs)
+    # zero-egress box: fetch fails -> the NaN fallback columns
+    assert pd.isna(got["Station wind speed (m/s)"][0])
+    assert pd.isna(got["Distance from station (km)"][0])
+
+    gran = str(hdir / "hrrr.2020092420.wrfsfcf00.npz")
+    assert stage_clis.wind_qc_main(["-f", gran]) == 0
+    bad = tmp_path / "bad.npz"
+    bad.write_bytes(b"not an npz")
+    assert stage_clis.wind_qc_main(["-f", str(bad)]) == 1
+
+
 def test_parse_wind_filename_date():
     from srcfinder_tpu.flow.wind_export import parse_wind_filename_date
     import datetime as dt2
