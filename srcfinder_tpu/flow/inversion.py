@@ -19,7 +19,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ols_inversion", "bayesian_inversion", "background_percentile"]
+__all__ = ["ols_inversion", "bayesian_inversion", "posterior_covariance",
+           "background_percentile"]
 
 
 @jax.jit
@@ -53,6 +54,21 @@ def bayesian_inversion(H, y, x_a, S_a, S_o):
         c, lower = jax.scipy.linalg.cho_factor(K)
         return x_a + jnp.asarray(S_a) @ H.T @ jax.scipy.linalg.cho_solve(
             (c, lower), resid)
+
+
+@jax.jit
+def posterior_covariance(H, S_a, S_o):
+    """Rodgers posterior covariance
+    S_hat = (H^T S_o^-1 H + S_a^-1)^-1
+    (reference: inversion-run.py:92-97 via sparse spsolve/inv).
+    Matmul precision pinned to full f32 (see cmf/matched_filter._einsum).
+    """
+    with jax.default_matmul_precision("highest"):
+        H = jnp.asarray(H)
+        S_a = jnp.asarray(S_a)
+        S_o = jnp.asarray(S_o)
+        A = H.T @ jnp.linalg.solve(S_o, H) + jnp.linalg.inv(S_a)
+        return jnp.linalg.inv(A)
 
 
 def background_percentile(values, times, q: float = 5.0):

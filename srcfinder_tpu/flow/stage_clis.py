@@ -14,6 +14,10 @@ argv surfaces over the already-tested APIs:
   (``-p GLOB -w WINDIR [-a ALT]``)
 - ``srcfinder-wind-qc``       msf_flow/harvester/wind_quality_check.py:22-28
   (``-f FILE``)
+- ``srcfinder-persistence``   msf_flow/plume_processor/source_persistence/
+  source_persistence.py:105-230 (``source_list flightlines.shp output``)
+- ``srcfinder-inversion``     msf_flow/deployment/inversion-run/
+  inversion-run.py:12-141 (``grid_dir [--rsel3 --tropH --plot]``)
 
 Recorded deviations (also in PARITY.md):
 - cluster ``-v`` writes ``OUTPUT.pdf`` instead of opening the
@@ -169,6 +173,111 @@ def windspeed_main(argv=None):
             for plume in plumes:
                 writer.writerow(plume)
         print(f"wrote {args.output}")
+    return 0
+
+
+def persistence_main(argv=None):
+    """``srcfinder-persistence SOURCE_LIST FLIGHTLINES.shp OUTPUT``:
+    the source_persistence.py worker surface (reference:
+    msf_flow/plume_processor/source_persistence/source_persistence.py:105-230
+    — the Lambda passes source list + flightlines shapefile + output
+    csv). Flightline names come from the shapefile's ``Flight_Run``
+    attribute, falling back to ``Name.split()[0]`` exactly like the
+    reference (:138-139)."""
+    import os
+
+    p = argparse.ArgumentParser(
+        prog="srcfinder-persistence",
+        description="Per-source CH4 persistence: observed plumes / "
+                    "total overflights from a flightline shapefile")
+    p.add_argument("source_list", help="plume-list csv")
+    p.add_argument("flightlines", help="flightline polygon .shp "
+                                       "(.dbf sibling for names)")
+    p.add_argument("output", help="output csv")
+    args = p.parse_args(argv)
+    import pandas as pd
+
+    from .persistence import (read_dbf_field, read_shapefile_polygons,
+                              source_persistence)
+    polys = read_shapefile_polygons(args.flightlines)
+    dbf = os.path.splitext(args.flightlines)[0] + ".dbf"
+    try:
+        names = read_dbf_field(dbf, "Flight_Run")
+    except (KeyError, OSError):
+        try:
+            names = [n.split()[0] for n in read_dbf_field(dbf, "Name")]
+        except (KeyError, OSError):
+            names = [f"fl{i}" for i in range(len(polys))]
+    df = pd.read_csv(args.source_list)
+    sid_key = ("Source identifier" if "Source identifier" in df
+               else "Source ID")
+    out = source_persistence(df, names, polys, sid_key=sid_key)
+    out.to_csv(args.output, index=True)  # the reference writes the index
+    print(f"{len(out)} sources -> {args.output}")
+    return 0
+
+
+def inversion_main(argv=None):
+    """``srcfinder-inversion GRID_DIR [--rsel3 F --tropH F --plot]``:
+    the inversion-run worker surface (reference:
+    msf_flow/deployment/inversion-run/inversion-run.py:12-116 local
+    mode: GRID_DIR/{lat,lon}.csv + trop_H.csv (Jacobian) + trop_meta.csv
+    (xch4/back columns); writes x_hat.csv/S_hat.csv beside the inputs;
+    prior x_a = 10, S_a = diag((0.5 x_a)^2), S_o = diag((0.1 y)^2)).
+    ``--plot`` writes x_hat.png (the reference's plot_result, :119-141,
+    saves nothing — its savefig is commented out)."""
+    import os
+
+    p = argparse.ArgumentParser(
+        prog="srcfinder-inversion",
+        description="Linear-Gaussian flux inversion over a model grid")
+    p.add_argument("grid_dir", help="directory with lat.csv/lon.csv")
+    p.add_argument("--rsel3", default=None,
+                   help="observation csv with xch4/back columns "
+                        "(default GRID_DIR/trop_meta.csv)")
+    p.add_argument("--tropH", default=None,
+                   help="Jacobian csv, no header "
+                        "(default GRID_DIR/trop_H.csv)")
+    p.add_argument("--plot", action="store_true",
+                   help="write GRID_DIR/x_hat.png")
+    args = p.parse_args(argv)
+    import numpy as np
+    import pandas as pd
+
+    from .inversion import bayesian_inversion, posterior_covariance
+    rsel3 = pd.read_csv(args.rsel3 or
+                        os.path.join(args.grid_dir, "trop_meta.csv"))
+    H = pd.read_csv(args.tropH or os.path.join(args.grid_dir,
+                                               "trop_H.csv"),
+                    header=None).values.astype(np.float32)
+    y = (pd.to_numeric(rsel3["xch4"], errors="coerce")
+         - pd.to_numeric(rsel3["back"], errors="coerce")).values \
+        .astype(np.float32)
+    x_a = np.full(H.shape[1], 10.0, np.float32)
+    S_a = np.diag((0.5 * x_a) ** 2)
+    S_o = np.diag((0.1 * y) ** 2).astype(np.float32)
+    x_hat = np.asarray(bayesian_inversion(H, y, x_a, S_a, S_o))
+    S_hat = np.asarray(posterior_covariance(H, S_a, S_o))
+    xf = os.path.join(args.grid_dir, "x_hat.csv")
+    sf = os.path.join(args.grid_dir, "S_hat.csv")
+    np.savetxt(xf, x_hat, delimiter=",")
+    np.savetxt(sf, S_hat, delimiter=",")
+    print(f"x_hat written to csv {xf}")
+    print(f"S_hat written to csv {sf}")
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        lat = pd.read_csv(os.path.join(args.grid_dir, "lat.csv"))
+        lon = pd.read_csv(os.path.join(args.grid_dir, "lon.csv"))
+        grid = np.reshape(x_hat, (len(lat), len(lon)))
+        fig, ax = plt.subplots()
+        m = ax.pcolormesh(grid, vmin=0,
+                          vmax=float(np.percentile(grid, 95)))
+        fig.colorbar(m)
+        fig.savefig(os.path.join(args.grid_dir, "x_hat.png"))
+        plt.close(fig)
+        print("wrote x_hat.png")
     return 0
 
 

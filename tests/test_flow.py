@@ -913,6 +913,80 @@ def test_stage_clis_winds(tmp_path, rng):
     assert stage_clis.wind_qc_main(["-f", str(bad)]) == 1
 
 
+def _write_shp_square(path):
+    """Minimal one-polygon (unit 0..10 square) shapefile."""
+    pts = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    content = (struct.pack("<i", 5)
+               + struct.pack("<4d", 0, 0, 10, 10)
+               + struct.pack("<ii", 1, len(pts))
+               + struct.pack("<i", 0)
+               + pts.astype("<f8").tobytes())
+    rec = struct.pack(">ii", 1, len(content) // 2) + content
+    flen = (100 + len(rec)) // 2
+    header = (struct.pack(">i", 9994) + bytes(20) + struct.pack(">i", flen)
+              + struct.pack("<ii", 1000, 5) + struct.pack("<8d", 0, 0, 10,
+                                                          10, 0, 0, 0, 0))
+    path.write_bytes(header + rec)
+
+
+def _write_dbf(path, field, values, width=12):
+    """Minimal dBASE III file with one character field."""
+    hsize = 32 + 32 + 1
+    rsize = 1 + width
+    header = (bytes([3, 0, 0, 0]) + struct.pack("<I", len(values))
+              + struct.pack("<HH", hsize, rsize) + bytes(20))
+    fd = (field.encode().ljust(11, b"\x00") + b"C" + bytes(4)
+          + bytes([width, 0]) + bytes(14))
+    recs = b"".join(b" " + v.encode().ljust(width) for v in values)
+    path.write_bytes(header + fd + b"\r" + recs)
+
+
+def test_stage_clis_persistence_inversion(tmp_path):
+    """srcfinder-persistence / srcfinder-inversion = the
+    source_persistence.py and inversion-run.py worker surfaces."""
+    from srcfinder_tpu.flow import stage_clis
+
+    _write_shp_square(tmp_path / "fl.shp")
+    # Name-fallback path: Flight_Run absent, names from Name.split()[0]
+    _write_dbf(tmp_path / "fl.dbf", "Name", ["fl1 extra"])
+    scsv = tmp_path / "sources.csv"
+    pd.DataFrame({
+        "Source identifier": ["A1", "A1", "A3"],
+        "Plume Latitude (deg)": [5.0, 5.0, 50.0],
+        "Plume Longitude (deg)": [5.0, 5.0, 50.0],
+    }).to_csv(scsv, index=False)
+    outp = tmp_path / "persistence.csv"
+    assert stage_clis.persistence_main(
+        [str(scsv), str(tmp_path / "fl.shp"), str(outp)]) == 0
+    got = pd.read_csv(outp).set_index("Source identifier")
+    assert got.loc["A1", "observed.plumes"] == 2
+    assert got.loc["A1", "total.overflights"] == 1
+    assert got.loc["A1", "source.Persistence"] == 2.0
+    assert np.isnan(got.loc["A3", "source.Persistence"])
+
+    gdir = tmp_path / "grid"
+    os.makedirs(gdir)
+    n = 4
+    pd.DataFrame({"lat": [34.0, 34.1]}).to_csv(gdir / "lat.csv",
+                                               index=False)
+    pd.DataFrame({"lon": [-118.0, -118.1]}).to_csv(gdir / "lon.csv",
+                                                   index=False)
+    np.savetxt(gdir / "trop_H.csv", np.eye(n), delimiter=",")
+    pd.DataFrame({"xch4": [1880.0] * n,
+                  "back": [1860.0] * n}).to_csv(gdir / "trop_meta.csv",
+                                                index=False)
+    assert stage_clis.inversion_main([str(gdir), "--plot"]) == 0
+    x_hat = np.loadtxt(gdir / "x_hat.csv", delimiter=",")
+    # prior 10, obs 20, Sa=25, So=4 -> posterior 10 + 25/29*10 = 18.6
+    assert x_hat.shape == (n,)
+    np.testing.assert_allclose(x_hat, 10 + 25 / 29 * 10, rtol=1e-3)
+    S_hat = np.loadtxt(gdir / "S_hat.csv", delimiter=",")
+    assert S_hat.shape == (n, n)
+    # posterior variance = (1/4 + 1/25)^-1 = 100/29
+    np.testing.assert_allclose(np.diag(S_hat), 100 / 29, rtol=1e-3)
+    assert (gdir / "x_hat.png").is_file()
+
+
 def test_parse_wind_filename_date():
     from srcfinder_tpu.flow.wind_export import parse_wind_filename_date
     import datetime as dt2
