@@ -231,7 +231,12 @@ def inversion_main(argv=None):
     p = argparse.ArgumentParser(
         prog="srcfinder-inversion",
         description="Linear-Gaussian flux inversion over a model grid")
-    p.add_argument("grid_dir", help="directory with lat.csv/lon.csv")
+    p.add_argument("grid_dir",
+                   help="directory with lat.csv/lon.csv — or the "
+                        "trop_meta.csv path itself (the reference "
+                        "Lambda derives the grid dir from the rsel3 "
+                        "key, inversion-run.py:143-147); the "
+                        "wind/plume event runner passes the file")
     p.add_argument("--rsel3", default=None,
                    help="observation csv with xch4/back columns "
                         "(default GRID_DIR/trop_meta.csv)")
@@ -245,10 +250,14 @@ def inversion_main(argv=None):
     import pandas as pd
 
     from .inversion import bayesian_inversion, posterior_covariance
-    rsel3 = pd.read_csv(args.rsel3 or
-                        os.path.join(args.grid_dir, "trop_meta.csv"))
-    H = pd.read_csv(args.tropH or os.path.join(args.grid_dir,
-                                               "trop_H.csv"),
+    gdir, rsel3_path = args.grid_dir, args.rsel3
+    if os.path.isfile(gdir):
+        rsel3_path = rsel3_path or gdir
+        gdir = os.path.dirname(gdir) or "."
+    args.grid_dir = gdir
+    rsel3 = pd.read_csv(rsel3_path or
+                        os.path.join(gdir, "trop_meta.csv"))
+    H = pd.read_csv(args.tropH or os.path.join(gdir, "trop_H.csv"),
                     header=None).values.astype(np.float32)
     y = (pd.to_numeric(rsel3["xch4"], errors="coerce")
          - pd.to_numeric(rsel3["back"], errors="coerce")).values \

@@ -495,6 +495,14 @@ def test_job_specs(tmp_path):
                               "..", "deployment", "jobs.json")
     specs = load_job_specs(specs_path)
     assert "compute-ime" in specs and "msf-flow" in specs
+    # the standalone worker jobs the reference deploys as Lambdas/Batch
+    for job in ("wind-quality-check", "wind-bands-nc", "cluster-incr-nn",
+                "filter-plumes", "source-persistence", "inversion-run"):
+        assert job in specs, job
+        assert specs[job]["trigger"]["opt_in"]
+    argv = render_command(specs["inversion-run"],
+                          {"GRID_DIR": "/g/trop_meta.csv"})
+    assert argv == ["srcfinder-inversion", "/g/trop_meta.csv"]
 
     argv = render_command(specs["compute-ime"], {"CMF_IMG": "/d/x_cmf_img"})
     assert argv[0] == "srcfinder-ime" and "/d/x_cmf_img" in argv
@@ -985,6 +993,11 @@ def test_stage_clis_persistence_inversion(tmp_path):
     # posterior variance = (1/4 + 1/25)^-1 = 100/29
     np.testing.assert_allclose(np.diag(S_hat), 100 / 29, rtol=1e-3)
     assert (gdir / "x_hat.png").is_file()
+    # event-runner form: the trop_meta.csv file path stands in for the
+    # grid dir (the reference Lambda derives the dir from the rsel3 key)
+    os.remove(gdir / "x_hat.csv")
+    assert stage_clis.inversion_main([str(gdir / "trop_meta.csv")]) == 0
+    assert (gdir / "x_hat.csv").is_file()
 
 
 def test_parse_wind_filename_date():
