@@ -223,7 +223,6 @@ def cnn_window_saliency_sharded(model: GoogLeNet, variables, img, mesh,
     the DataParallel semantics.
     """
     from jax.sharding import NamedSharding, PartitionSpec
-    from jax.experimental.shard_map import shard_map
 
     axes = mesh_axes or tuple(mesh.axis_names)
     if isinstance(axes, str):
@@ -252,10 +251,10 @@ def cnn_window_saliency_sharded(model: GoogLeNet, variables, img, mesh,
         return _cnn_window_scan(model, v, p, rr, cc, dim, batch, iters)
 
     spec = PartitionSpec(tuple(axes))
-    run = jax.jit(shard_map(
+    run = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(PartitionSpec(), PartitionSpec(), spec, spec),
-        out_specs=spec, check_rep=False))
+        out_specs=spec, check_vma=False))
     pr = np.asarray(run(variables, padded, rj, cj))
     return pr[:n].reshape(h, w)
 

@@ -35,7 +35,7 @@ def set_date_range(args: dict, date_fmt: str = "%Y%m%d", now=None):
     """Resolve (start, end) from start_date/end_date/num_days
     (reference: harvest.py:51-126). Raises ValueError instead of
     sys.exit()."""
-    utcnow = now or datetime.utcnow()
+    utcnow = now or datetime.now(timezone.utc)
     utc_today = datetime(utcnow.year, utcnow.month, utcnow.day,
                          tzinfo=timezone.utc)
     start_date = end_date = None
