@@ -28,6 +28,12 @@ BENCH_r*.json — all at benchmark-scene scale on synthetic in-RAM data:
                        SRCFINDER_BENCH_SCENES, default 2 — the stage-3
                        feature set is ~2.7 GB/scene bf16 and N=4
                        exceeds the v5e's 16 GB HBM)
+- e2e_s                full srcfinder-pipeline CLI soak at benchmark
+                       scale (2.85 GB radiance on disk; fused CMF+masks
+                       single-pass read + FCN + salience + IME + wind
+                       enrichment), with per-stage timers in e2e_stages
+- regressions          >10% round-over-round slips vs the newest
+                       BENCH_r*.json (empty list = clean)
 
 Each extra section is fail-soft: an error lands in the JSON as
 ``<name>_error`` instead of losing the whole line.
@@ -39,7 +45,8 @@ achieved.
 
 Timing: median of SRCFINDER_BENCH_ITERS (default 3) warm runs, each
 forced by np.asarray (block_until_ready returns early through the axon
-tunnel); exact_cnn is timed once (it is ~30x the others).
+tunnel); exact_cnn reports its first (compile-inclusive) run and the
+median of 2 warm runs separately.
 
 Env overrides: SRCFINDER_BENCH_DTYPE=float32|bfloat16,
 SRCFINDER_BENCH_CHUNKS=a,b,c,d, SRCFINDER_BENCH_ITERS=n,
@@ -217,16 +224,137 @@ def bench_masks(out, iters):
 
 
 def bench_exact_cnn(out, dtype_name, model, variables, band):
+    """First run reported separately (compile-inclusive when the
+    persistent cache is cold); exact_cnn_s is the median of 2 warm
+    runs so the headline can't mix compile time in (VERDICT r3 item 6)."""
     import jax.numpy as jnp
     from srcfinder_tpu.detect.cnn_pipeline import cnn_saliency_image
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    def run():
+        sal = np.asarray(cnn_saliency_image(
+            band, variables, model_name="multi_64", dim=256, batch=4096,
+            method="exact", dtype=dtype, model=model, superbatch=64))
+        assert np.isfinite(sal[sal != -9999]).all()
+
     t0 = time.time()
-    sal = np.asarray(cnn_saliency_image(
-        band, variables, model_name="multi_64", dim=256, batch=4096,
-        method="exact", dtype=dtype, model=model, superbatch=64))
-    out["exact_cnn_s"] = round(time.time() - t0, 1)
-    assert np.isfinite(sal[sal != -9999]).all()
+    run()
+    out["exact_cnn_first_s"] = round(time.time() - t0, 1)
+    elapsed, times = _median_time(run, 2)
+    out["exact_cnn_s"] = round(elapsed, 1)
+    out["exact_cnn_s_all"] = [round(t, 1) for t in times]
+
+
+def bench_e2e(out):
+    """Full srcfinder-pipeline soak at benchmark scale (VERDICT r3
+    item 2): a 2801 x 598 x 425 f32 BIL radiance (2.85 GB on disk,
+    synthetic plume) through ONE CLI subprocess with every stage on —
+    fused single-pass CMF+masks read, FCN saliency, plume list, IME,
+    wind/emission enrichment. e2e_s is the subprocess wall time (incl.
+    backend init, as a real CLI run pays it); per-stage [STAGE] timers
+    are parsed into e2e_stages."""
+    import re
+    import subprocess
+    import sys
+
+    base = "/tmp/bench_e2e"
+    rdn = os.path.join(base, "ang20260818t000000_rdn_v2y1_img")
+    libf = os.path.join(base, "ang_ch4_unit_3col_425chan.txt")
+    wf = os.path.join(base, "w.npz")
+    if not os.path.exists(rdn):            # fixture: built once, untimed
+        os.makedirs(base, exist_ok=True)
+        from srcfinder_tpu.core.envi import save_envi
+        rng = np.random.default_rng(7)
+        L, C, B = H, 598, 425
+        cube = np.abs(rng.normal(4.0, 0.5, (L, C, B))
+                      .astype(np.float32)) + 0.5
+        absorb = np.ones(B, np.float32)
+        absorb[360:410] = 0.9
+        cube[1200:1260, 200:240] *= absorb          # synthetic plume
+        meta = {"data ignore value": -9999,
+                "map info": ["UTM", "1", "1", "272247.15", "3992010.65",
+                             "3.1", "3.1", "11", "North", "WGS-84",
+                             "units=Meters", "rotation=0"],
+                "wavelength": [f"{w:.2f}"
+                               for w in np.linspace(380, 2500, B)]}
+        save_envi(rdn + ".hdr", cube, metadata=meta, interleave="bil")
+        del cube
+        lib = np.zeros((425, 3))
+        lib[:, 0] = np.arange(1, 426)
+        lib[:, 1] = np.linspace(380, 2500, 425)
+        lib[:, 2] = -np.abs(np.random.default_rng(8).normal(size=425)) * .1
+        np.savetxt(libf, lib)
+        import jax
+        import jax.numpy as jnp
+        from srcfinder_tpu.models import googlenet as _g
+        from srcfinder_tpu.detect.cnn_cli import save_weights
+        m = _g(num_classes=2, dropout=0.0, dropout_aux=0.0)
+        save_weights(wf, m.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 64, 64, 1)), train=False))
+        for day, hh in (("20260817", 23), ("20260818", 0),
+                        ("20260818", 1)):
+            d = os.path.join(base, "winds", "hrrr", day)
+            os.makedirs(d, exist_ok=True)
+            u = np.full((5, 5), 3.0, np.float32)
+            v = np.full((5, 5), 4.0, np.float32)
+            lat, lon = np.meshgrid(np.linspace(35.5, 36.5, 5),
+                                   np.linspace(-120.5, -119.5, 5),
+                                   indexing="ij")
+            np.savez(os.path.join(d, f"hrrr.{day}{hh:02d}.wrfsfcf00.npz"),
+                     u=u, v=v, lat=lat, lon=lon, gust=np.hypot(u, v),
+                     valid_date=f"{day[:4]}-{day[4:6]}-{day[6:]}"
+                                f"T{hh:02d}:00:00")
+
+    outdir = os.path.join(base, "out")
+    import shutil
+    shutil.rmtree(outdir, ignore_errors=True)
+    cmd = [sys.executable, "-m", "srcfinder_tpu.flow.pipeline_cli", rdn,
+           "--library", libf, "--weights", wf, "-o", outdir,
+           "--ime", "--masks", "--winds", os.path.join(base, "winds"),
+           "--wind-ext", ".npz", "--col_chunk", "256",
+           "--prob_thr", "0.0", "--ppmm_thr", "500",
+           "--fcn-dtype", "bfloat16"]
+    t0 = time.time()
+    res = subprocess.run(cmd, capture_output=True, text=True,
+                         timeout=2400)
+    out["e2e_s"] = round(time.time() - t0, 1)
+    stages = {}
+    for mt in re.finditer(r"\[STAGE\] (.+?) done in ([0-9.]+)s",
+                          res.stdout):
+        stages[mt.group(1)] = float(mt.group(2))
+    out["e2e_stages"] = stages
+    if res.returncode != 0:
+        out["e2e_error"] = (res.stderr or res.stdout).strip()[-200:]
+
+
+def check_regressions(out):
+    """Cross-round guard (VERDICT r3 item 7): diff this run against the
+    newest BENCH_r*.json the driver recorded; >10% worse on any shared
+    numeric key lands in ``regressions`` (fail-soft, never raises)."""
+    import glob
+    import re as _re
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    out["regressions"] = []
+    if not files:
+        return
+    try:
+        prev = json.load(open(files[-1])).get("parsed") or {}
+    except Exception:
+        return
+    out["regressions_vs"] = os.path.basename(files[-1])
+    for k, old in prev.items():
+        new = out.get(k)
+        if not (isinstance(old, (int, float)) and
+                isinstance(new, (int, float)) and old > 0):
+            continue
+        if k == "value" or k.endswith("_mpix_s"):     # rate: higher wins
+            if new < old * 0.90:
+                out["regressions"].append(f"{k}: {old} -> {new}")
+        elif _re.search(r"_s$|_s_median$", k):        # time: lower wins
+            if new > old * 1.10:
+                out["regressions"].append(f"{k}: {old} -> {new}")
 
 
 def main():
@@ -245,9 +373,10 @@ def main():
     # that emits per-section partials; the parent enforces the deadline
     # with SIGKILL (GIL-proof) and always prints exactly one JSON line,
     # merged from whatever sections completed. The budget covers a fully
-    # cold compile set (~30-40 min observed) with slack;
+    # cold compile set (~30-40 min observed) with slack for the r4
+    # additions (warm exact-CNN medians + the e2e soak's own shapes);
     # SRCFINDER_BENCH_TIMEOUT_S=0 disables the supervisor.
-    budget = int(os.environ.get("SRCFINDER_BENCH_TIMEOUT_S", "5400"))
+    budget = int(os.environ.get("SRCFINDER_BENCH_TIMEOUT_S", "7200"))
     if budget > 0 and os.environ.get("SRCFINDER_BENCH_CHILD") != "1":
         import subprocess
         import sys
@@ -337,6 +466,7 @@ def main():
             ("cmf", lambda: bench_cmf(out, iters)),
             ("exact_cnn", lambda: bench_exact_cnn(out, dtype_name, model,
                                                   variables, band)),
+            ("e2e", lambda: bench_e2e(out)),
         ]
         for name, fn in sections:
             try:
@@ -344,6 +474,7 @@ def main():
             except Exception as e:   # keep the line printable
                 out[f"{name}_error"] = str(e).split("\n")[0][:200]
             _part(out)
+    check_regressions(out)
     print(json.dumps(out))
     return 0
 

@@ -67,12 +67,14 @@ def _cnn_window_scan(model: GoogLeNet, variables, padded, rows, cols,
     is paid once per scan, not once per batch.
 
     ``fused=True`` routes each window batch through the Pallas fused
-    stage-1+2 trunk (ops.trunk_fuse: conv1 -> ceil-pool -> conv2 ->
-    conv3 VMEM-resident, no HBM round-trips for the early feature maps
-    — the byte-dominant ~47% of the exact path's traffic) and resumes
-    the model at stage 3. Requires BN-folded variables
-    (models.googlenet.fold_inference). Opt-in pending the hardware
-    bake-off (SRCFINDER_CNN_FUSED=1).
+    trunk segments (ops.trunk_fuse): XLA computes conv1 (its stride-2
+    im2col cannot lower in Mosaic — SCALING.md "Pallas verdict (r4)"),
+    then segment "s23" (pool1 -> conv2 -> conv3 -> pool2 -> inception3
+    -> pool3) and segment "s45" (inception4 -> pool4 -> inception5 ->
+    GAP) run VMEM-resident per window, so no per-window feature map
+    between conv1's output and the 1024-vector GAP features ever
+    touches HBM. Requires BN-folded variables
+    (models.googlenet.fold_inference).
 
     Window gather is two-level: window indices are row-major
     consecutive, so a batch spans <= ceil(batch/W)+1 image rows; one
@@ -90,15 +92,18 @@ def _cnn_window_scan(model: GoogLeNet, variables, padded, rows, cols,
     band_h = min(dim + -(-batch // w_img), padded.shape[0])
 
     if fused:
-        from ..ops.trunk_fuse import trunk_params_from_variables
-        trunk_params = trunk_params_from_variables(variables)
+        from ..ops.trunk_fuse import trunk_segment_params
+        p23 = tuple(trunk_segment_params(variables, "s23"))
+        p45 = tuple(trunk_segment_params(variables, "s45"))
 
     def _forward(wins):
         if fused:
-            from ..ops.trunk_fuse import fused_stage12
-            feats = fused_stage12(wins, trunk_params)
-            return model.apply(variables, feats, train=False,
-                               start_stage=3, start_pooled=True)
+            from ..ops.trunk_fuse import fused_trunk_segment
+            c1 = model.apply(variables, wins, train=False, stage=1)
+            feats = fused_trunk_segment(c1, p23, "s23")
+            gap = fused_trunk_segment(feats, p45, "s45")
+            fc = variables["params"]["fc"]
+            return gap @ fc["kernel"] + fc["bias"]
         return model.apply(variables, wins, train=False)
 
     def body(i, out):
@@ -151,9 +156,10 @@ def cnn_window_saliency(model: GoogLeNet, variables, img, dim: int = 256,
     import os as _os
     if fused is None:
         # opt-in until the hardware bake-off (docstring of
-        # _cnn_window_scan); requires BN-folded variables and D % 4 == 0
+        # _cnn_window_scan); requires BN-folded variables and a conv1
+        # map divisible by 16 (D % 32 == 0)
         fused = (_os.environ.get("SRCFINDER_CNN_FUSED") == "1"
-                 and dim % 8 == 0
+                 and dim % 32 == 0
                  and "bias" in variables.get("params", {})
                  .get("conv1", {}).get("conv", {}))
     h, w = img.shape

@@ -230,11 +230,12 @@ class GoogLeNet(nn.Module):
         """``start_stage`` (1..5) enters the forward mid-trunk: ``x`` is
         the OUTPUT of stage ``start_stage - 1`` and computation runs
         from there to the head — the resume point for externally fused
-        early stages (ops.trunk_fuse computes stages 1+2 of the exact
-        sliding-window path in one VMEM-resident Pallas kernel).
-        ``start_pooled=True`` (with ``start_stage == 3``) declares that
-        ``x`` has ALSO been through stage 3's leading ceil-mode maxpool
-        (the fused kernel's pool2 output) — the pool is skipped.
+        early stages (ops.trunk_fuse computes trunk segments of the
+        exact sliding-window path in VMEM-resident Pallas kernels).
+        ``start_pooled=True`` declares that ``x`` has ALSO been through
+        stage ``start_stage``'s leading ceil-mode maxpool (e.g. the
+        "s23" fused segment ends at pool3, the input of stage 4's
+        inception blocks) — that pool is skipped.
 
         ``stage`` (1..5) computes only that stride-2 trunk stage on
         already-computed features — the phase-deduplicated FCN path
@@ -303,7 +304,8 @@ class GoogLeNet(nn.Module):
 
         aux1 = aux2 = None
         if stage in (None, 4) and start_stage <= 4:
-            x = _ceil_maxpool(x, 3, 2)
+            if not (start_pooled and start_stage == 4):
+                x = _ceil_maxpool(x, 3, 2)
             x = inc(192, 96, 208, 16, 48, 64, name="inception4a")(x, train)
             if stage is None and self.aux_logits and train:
                 aux1 = InceptionAux(self.num_classes, self.dropout_aux,
@@ -318,7 +320,8 @@ class GoogLeNet(nn.Module):
             if stage == 4:
                 return x
         if stage in (None, 5) and start_stage <= 5:
-            x = _ceil_maxpool(x, 2, 2)
+            if not (start_pooled and start_stage == 5):
+                x = _ceil_maxpool(x, 2, 2)
             x = inc(256, 160, 320, 32, 128, 128, name="inception5a")(x, train)
             x = inc(384, 192, 384, 48, 128, 128, name="inception5b")(x, train)
             if stage == 5:

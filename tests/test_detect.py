@@ -703,9 +703,9 @@ def test_cnn_window_sharded_matches_single(small_model, rng):
 
 
 def test_cnn_window_scan_fused_trunk_matches(small_model, rng):
-    """The Pallas fused stage-1+2 trunk (ops.trunk_fuse, VMEM-resident
-    conv1->pool->conv2->conv3 per window + model resume at stage 3)
-    reproduces the plain scan's saliency (interpret mode on CPU)."""
+    """The Pallas fused trunk segments (ops.trunk_fuse: XLA conv1 +
+    VMEM-resident s23/s45 per window + fc head) reproduce the plain
+    scan's saliency (interpret mode on CPU)."""
     from srcfinder_tpu.detect.cnn_pipeline import cnn_window_saliency
     from srcfinder_tpu.models.googlenet import fold_inference
     model, variables = fold_inference(*small_model)
@@ -720,29 +720,37 @@ def test_cnn_window_scan_fused_trunk_matches(small_model, rng):
 
 
 def test_trunk_fuse_kernel_matches_stages(small_model, rng):
-    """ops.trunk_fuse.fused_stage12 == model stages 1+2 + pool2, f32
-    tight and bf16 loose (the MXU dtype)."""
-    from srcfinder_tpu.ops.trunk_fuse import (fused_stage12,
-                                              trunk_params_from_variables)
-    from srcfinder_tpu.models.googlenet import fold_inference
+    """ops.trunk_fuse segments == model stages: s23 (pool1..pool3) and
+    s45 (inception4..GAP), f32 tight and bf16 loose (the MXU dtype)."""
+    from srcfinder_tpu.ops.trunk_fuse import (fused_trunk_segment,
+                                              trunk_segment_params)
+    from srcfinder_tpu.models.googlenet import fold_inference, _ceil_maxpool
     model, variables = fold_inference(*small_model)
-    params = trunk_params_from_variables(variables)
+    p23 = tuple(trunk_segment_params(variables, "s23"))
+    p45 = tuple(trunk_segment_params(variables, "s45"))
     wins = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
-    from srcfinder_tpu.models.googlenet import _ceil_maxpool
-    ref = _ceil_maxpool(model.apply(
-        variables, model.apply(variables, wins, train=False, stage=1),
-        train=False, stage=2), 3, 2)
-    got = fused_stage12(wins, params)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+    c1 = model.apply(variables, wins, train=False, stage=1)
+    ref23 = _ceil_maxpool(model.apply(
+        variables, model.apply(variables, c1, train=False, stage=2),
+        train=False, stage=3), 3, 2)
+    got23 = fused_trunk_segment(c1, p23, "s23")
+    np.testing.assert_allclose(np.asarray(got23), np.asarray(ref23),
                                rtol=1e-5, atol=1e-6)
-    wb = wins.astype(jnp.bfloat16)
-    got16 = fused_stage12(wb, params)
+    s4 = model.apply(variables, ref23, train=False, stage=4,
+                     start_stage=4, start_pooled=True)
+    ref45 = np.asarray(model.apply(variables, s4, train=False, stage=5,
+                                   start_stage=5)).mean(axis=(1, 2))
+    got45 = fused_trunk_segment(jnp.asarray(ref23), p45, "s45")
+    np.testing.assert_allclose(np.asarray(got45), ref45,
+                               rtol=1e-5, atol=1e-6)
+    wb = c1.astype(jnp.bfloat16)
+    got16 = fused_trunk_segment(wb, p23, "s23")
     ref16 = _ceil_maxpool(model.apply(
-        variables, model.apply(variables, wb, train=False, stage=1),
-        train=False, stage=2), 3, 2)
+        variables, model.apply(variables, wb, train=False, stage=2),
+        train=False, stage=3), 3, 2)
     np.testing.assert_allclose(np.asarray(got16, np.float32),
                                np.asarray(ref16, np.float32),
-                               rtol=0.1, atol=0.15)
+                               rtol=0.15, atol=0.2)
 
 
 def test_cnn_window_scan_small_scene_band_clamp(small_model, rng):
