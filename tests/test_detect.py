@@ -422,6 +422,23 @@ def test_fcn_phase_trained_bn_deviation_bounded(small_model, rng):
     assert np.abs(ref - got).max() < 1e-3
 
 
+def test_fcn_phase_wide_layout_matches_scan(small_model, rng):
+    """The wide-batch phase layout (four full-width batch applies per
+    stage, phase-major order + digit-reversed stitch permutation) is
+    bit-identical to the scan layout — same stage applies, same fills,
+    only the scheduling and index bookkeeping differ. Trained-like BN
+    so the fill constants are nonzero (the hard case for the
+    permutation: every phase map differs)."""
+    from srcfinder_tpu.detect.fcn_pipeline import fcn_phase_saliency
+    model, variables = small_model
+    vt = _trained_like(variables)
+    img = rng.normal(size=(52, 45)).astype(np.float32)
+    ref = np.asarray(fcn_phase_saliency(model, vt, jnp.asarray(img)))
+    got = np.asarray(fcn_phase_saliency(model, vt, jnp.asarray(img),
+                                        layout="wide"))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_fcn_phase_blocked_matches_unblocked(small_model, rng):
     """Long-flightline line-blocked phase path == unblocked, with
     trained-like BN (the hard case: every cut row would deviate if the
