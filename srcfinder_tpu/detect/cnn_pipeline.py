@@ -94,16 +94,20 @@ def _cnn_window_scan(model: GoogLeNet, variables, padded, rows, cols,
     if fused:
         from ..ops.trunk_fuse import trunk_segment_params
         p23 = tuple(trunk_segment_params(variables, "s23"))
-        p45 = tuple(trunk_segment_params(variables, "s45"))
 
     def _forward(wins):
         if fused:
+            # XLA conv1 -> Pallas s23 (VMEM-resident pool1..pool3) ->
+            # XLA stages 4-5 + head. The matching "s45" segment LOST its
+            # chip bake-off (75.5 vs 25.4 ms at batch 8 — the deep
+            # stages' maps are tiny, so XLA's cross-window batched
+            # matmuls beat per-window VMEM residency; SCALING.md
+            # "Pallas verdict (r4)") and is not used here.
             from ..ops.trunk_fuse import fused_trunk_segment
             c1 = model.apply(variables, wins, train=False, stage=1)
             feats = fused_trunk_segment(c1, p23, "s23")
-            gap = fused_trunk_segment(feats, p45, "s45")
-            fc = variables["params"]["fc"]
-            return gap @ fc["kernel"] + fc["bias"]
+            return model.apply(variables, feats, train=False,
+                               start_stage=4, start_pooled=True)
         return model.apply(variables, wins, train=False)
 
     def body(i, out):

@@ -250,6 +250,12 @@ def fcn_phase_saliency(model: GoogLeNet, variables, img, scale: int = 32,
     weights; this is the multichip replacement for DataParallel on the
     phase-dedup path (reference: cnn/fcn_pred_pipeline.py:162-165).
 
+    ``layout``: single-device stage scheduling — 'scan' (``lax.map``
+    over parent maps, per-step conv batch 4/16, ``chunks``-tuned) or
+    'wide' (:func:`_phase_saliency_fused_wide`: four full-width batch
+    applies per stage). Bit-identical outputs; 'wide' ignores
+    ``chunks``.
+
     Requires ``scale`` == 32 (the trunk's output stride).
     """
     if scale != 32:
@@ -459,7 +465,8 @@ def fcn_phase_saliency_batch(model: GoogLeNet, variables, imgs,
 def fcn_phase_saliency_blocked(model: GoogLeNet, variables, img,
                                scale: int = 32, block: int | None = None,
                                halo: int = TRUNK_HALO, chunks=(2, 4, 8, 1),
-                               mesh=None, mesh_axes=None):
+                               mesh=None, mesh_axes=None,
+                               layout: str = "scan"):
     """Long-flightline phase saliency: line-blocked with an exact halo.
 
     Real flightlines run 10-20k lines; the single-window phase path's
@@ -508,7 +515,7 @@ def fcn_phase_saliency_blocked(model: GoogLeNet, variables, img,
     if h0 <= win:
         return fcn_phase_saliency(model, variables, img, scale,
                                   chunks=chunks, mesh=mesh,
-                                  mesh_axes=mesh_axes)
+                                  mesh_axes=mesh_axes, layout=layout)
     # pre-pad to the phase grid so every clamped window start stays on it
     pad0 = (-h0) % scale
     if pad0:
@@ -520,7 +527,7 @@ def fcn_phase_saliency_blocked(model: GoogLeNet, variables, img,
         s = max(0, min(r0 - halo, hp - win))
         sal = fcn_phase_saliency(model, variables, img[s:s + win], scale,
                                  chunks=chunks, mesh=mesh,
-                                 mesh_axes=mesh_axes)
+                                 mesh_axes=mesh_axes, layout=layout)
         rows.append(sal[r0 - s: r0 - s + n])
     return jnp.concatenate(rows, axis=0)[:h0]
 

@@ -241,12 +241,15 @@ def _kernel_s45(x_ref, *refs):
     x = _inception(x, ws[60:72])                   # 5a
     x = _inception(x, ws[72:84])                   # 5b -> (8, 8, 1024)
     h, w, c = x.shape                              # global average pool
+    # out block is (1, 1, c): a (1, c) row per program — Mosaic requires
+    # the last two block dims divisible by (8, 128) OR equal to the
+    # overall array dims, which a (b, c) output with (1, c) blocks fails
     out_ref[0] = jnp.mean(x.reshape(h * w, c).astype(jnp.float32),
-                          axis=0, keepdims=True)[0].astype(x.dtype)
+                          axis=0, keepdims=True).astype(x.dtype)
 
 
 _OUT_SHAPE = {"s23": lambda h: (h // 8, h // 8, 480),
-              "s45": lambda h: (1024,)}
+              "s45": lambda h: (1, 1024)}
 _KERNELS = {"s23": _kernel_s23, "s45": _kernel_s45}
 
 
@@ -278,7 +281,7 @@ def fused_trunk_segment(x, params, segment: str = "s23",
         return pl.BlockSpec(shape, lambda *_: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _KERNELS[segment],
         grid=(b,),
         in_specs=[pl.BlockSpec((1,) + x.shape[1:],
@@ -291,3 +294,6 @@ def fused_trunk_segment(x, params, segment: str = "s23",
         out_shape=jax.ShapeDtypeStruct((b,) + out_shape, x.dtype),
         interpret=interpret,
     )(x, *params)
+    if segment == "s45":
+        out = out.reshape(b, 1024)      # drop the block-alignment axis
+    return out

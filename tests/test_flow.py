@@ -769,7 +769,9 @@ def test_wind_export_nc_classic(tmp_path, rng):
     ncf = str(tmp_path / "w.nc")
     wind_export.wind_grid_to_nc(p, ncf, engine="classic")
     from scipy.io import netcdf_file
-    with netcdf_file(ncf, "r") as nc:
+    # mmap=False: with mmap the arrays alias the file and scipy warns on
+    # close while they are still referenced
+    with netcdf_file(ncf, "r", mmap=False) as nc:
         assert b"CF-1.8" in nc.Conventions
         u = nc.variables["u"][:]
         lats = nc.variables["lat"][:]
