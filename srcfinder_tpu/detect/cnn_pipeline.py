@@ -55,26 +55,21 @@ def _cnn_window_chunk(model: GoogLeNet, variables, padded, rows, cols,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("model", "dim", "batch", "iters",
-                                    "fused"))
+                   static_argnames=("model", "dim", "batch", "iters"))
 def _cnn_window_scan(model: GoogLeNet, variables, padded, rows, cols,
-                     dim: int, batch: int, iters: int,
-                     fused: bool = False):
+                     dim: int, batch: int, iters: int):
     """``iters`` window batches inside ONE jitted executable: a
     ``fori_loop`` gathers each batch with dynamic_slice and runs the
     batched forward, so the host round-trip (the axon-tunnel dispatch
     latency that dominated the per-batch host loop — VERDICT r2 item 3)
     is paid once per scan, not once per batch.
 
-    ``fused=True`` routes each window batch through the Pallas fused
-    trunk segments (ops.trunk_fuse): XLA computes conv1 (its stride-2
-    im2col cannot lower in Mosaic — SCALING.md "Pallas verdict (r4)"),
-    then segment "s23" (pool1 -> conv2 -> conv3 -> pool2 -> inception3
-    -> pool3) and segment "s45" (inception4 -> pool4 -> inception5 ->
-    GAP) run VMEM-resident per window, so no per-window feature map
-    between conv1's output and the 1024-vector GAP features ever
-    touches HBM. Requires BN-folded variables
-    (models.googlenet.fold_inference).
+    The forward is pure XLA: a Pallas fused-trunk alternative (conv1 ->
+    VMEM-resident pool1..pool3 per window) was built and bit-matched
+    but LOST its r4 hardware bake-off — 437 vs 266 us/window pipelined
+    throughput at equal batch, and the remote TPU compiler crashed
+    outright at the production batch 4096 — so it was deleted
+    (SCALING.md "Pallas verdict (r4)").
 
     Window gather is two-level: window indices are row-major
     consecutive, so a batch spans <= ceil(batch/W)+1 image rows; one
@@ -91,23 +86,7 @@ def _cnn_window_scan(model: GoogLeNet, variables, padded, rows, cols,
     # operand and tracing fails (r3 review finding)
     band_h = min(dim + -(-batch // w_img), padded.shape[0])
 
-    if fused:
-        from ..ops.trunk_fuse import trunk_segment_params
-        p23 = tuple(trunk_segment_params(variables, "s23"))
-
     def _forward(wins):
-        if fused:
-            # XLA conv1 -> Pallas s23 (VMEM-resident pool1..pool3) ->
-            # XLA stages 4-5 + head. The matching "s45" segment LOST its
-            # chip bake-off (75.5 vs 25.4 ms at batch 8 — the deep
-            # stages' maps are tiny, so XLA's cross-window batched
-            # matmuls beat per-window VMEM residency; SCALING.md
-            # "Pallas verdict (r4)") and is not used here.
-            from ..ops.trunk_fuse import fused_trunk_segment
-            c1 = model.apply(variables, wins, train=False, stage=1)
-            feats = fused_trunk_segment(c1, p23, "s23")
-            return model.apply(variables, feats, train=False,
-                               start_stage=4, start_pooled=True)
         return model.apply(variables, wins, train=False)
 
     def body(i, out):
@@ -135,7 +114,7 @@ def _cnn_window_scan(model: GoogLeNet, variables, padded, rows, cols,
 
 def cnn_window_saliency(model: GoogLeNet, variables, img, dim: int = 256,
                         batch: int = 512, progress=None,
-                        superbatch: int = 64, fused: bool | None = None):
+                        superbatch: int = 64):
     """Exact dense sliding-window class-1 probability map.
 
     img: (H, W) preprocessed. Returns (H, W).
@@ -157,15 +136,6 @@ def cnn_window_saliency(model: GoogLeNet, variables, img, dim: int = 256,
       dispatch. Outputs are ~1 MB each; inputs ~2 MB — queueing all of
       them holds no significant HBM.
     """
-    import os as _os
-    if fused is None:
-        # opt-in until the hardware bake-off (docstring of
-        # _cnn_window_scan); requires BN-folded variables and a conv1
-        # map divisible by 16 (D % 32 == 0)
-        fused = (_os.environ.get("SRCFINDER_CNN_FUSED") == "1"
-                 and dim % 32 == 0
-                 and "bias" in variables.get("params", {})
-                 .get("conv1", {}).get("conv", {}))
     h, w = img.shape
     padded = reference_pad(img, dim)
     n = h * w
@@ -204,7 +174,7 @@ def cnn_window_saliency(model: GoogLeNet, variables, img, dim: int = 256,
         c[:take] = cols[off:off + take]
         pending.append((off, take, _cnn_window_scan(
             model, variables, padded, jnp.asarray(r), jnp.asarray(c),
-            dim, batch, iters, bool(fused))))
+            dim, batch, iters)))
 
     done = 0
     for off, take, pr in pending:

@@ -229,13 +229,12 @@ class GoogLeNet(nn.Module):
                  start_stage: int = 1, start_pooled: bool = False):
         """``start_stage`` (1..5) enters the forward mid-trunk: ``x`` is
         the OUTPUT of stage ``start_stage - 1`` and computation runs
-        from there to the head — the resume point for externally fused
-        early stages (ops.trunk_fuse computes trunk segments of the
-        exact sliding-window path in VMEM-resident Pallas kernels).
+        from there to the head — the resume seam for externally
+        computed early stages (used by the r4 Pallas trunk bake-off,
+        SCALING.md "Pallas verdict (r4)", and stagewise probing).
         ``start_pooled=True`` declares that ``x`` has ALSO been through
-        stage ``start_stage``'s leading ceil-mode maxpool (e.g. the
-        "s23" fused segment ends at pool3, the input of stage 4's
-        inception blocks) — that pool is skipped.
+        stage ``start_stage``'s leading ceil-mode maxpool — that pool
+        is skipped.
 
         ``stage`` (1..5) computes only that stride-2 trunk stage on
         already-computed features — the phase-deduplicated FCN path

@@ -1,3 +1,8 @@
-"""Pallas TPU kernels for the hot paths that XLA cannot fuse itself."""
+"""Pallas TPU kernels for hot paths XLA cannot fuse itself.
 
-from .trunk_fuse import fused_trunk_segment, trunk_segment_params  # noqa: F401
+Currently empty: both candidate kernels lost their hardware bake-offs
+to XLA and were removed with measured verdicts — the masked-moments
+kernel in r3 and the fused GoogLeNet trunk segments in r4 (SCALING.md
+"Pallas verdict (r3)" / "Pallas verdict (r4)"). The package stays as
+the home for future kernels that DO win on the chip.
+"""

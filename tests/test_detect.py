@@ -719,55 +719,32 @@ def test_cnn_window_sharded_matches_single(small_model, rng):
     np.testing.assert_array_equal(sharded, single)
 
 
-def test_cnn_window_scan_fused_trunk_matches(small_model, rng):
-    """The Pallas fused trunk segments (ops.trunk_fuse: XLA conv1 +
-    VMEM-resident s23/s45 per window + fc head) reproduce the plain
-    scan's saliency (interpret mode on CPU)."""
-    from srcfinder_tpu.detect.cnn_pipeline import cnn_window_saliency
-    from srcfinder_tpu.models.googlenet import fold_inference
-    model, variables = fold_inference(*small_model)
-    img = rng.normal(size=(4, 5)).astype(np.float32)    # 20 windows
-    plain = np.asarray(cnn_window_saliency(
-        model, variables, jnp.asarray(img), dim=32, batch=8,
-        superbatch=2, fused=False))
-    fused = np.asarray(cnn_window_saliency(
-        model, variables, jnp.asarray(img), dim=32, batch=8,
-        superbatch=2, fused=True))
-    np.testing.assert_allclose(fused, plain, rtol=2e-4, atol=2e-5)
-
-
-def test_trunk_fuse_kernel_matches_stages(small_model, rng):
-    """ops.trunk_fuse segments == model stages: s23 (pool1..pool3) and
-    s45 (inception4..GAP), f32 tight and bf16 loose (the MXU dtype)."""
-    from srcfinder_tpu.ops.trunk_fuse import (fused_trunk_segment,
-                                              trunk_segment_params)
+def test_googlenet_midtrunk_resume_matches_full(small_model, rng):
+    """The model's mid-trunk resume hooks (``start_stage`` +
+    ``start_pooled``, models.googlenet) reconstruct the full forward
+    from per-stage pieces: stage-by-stage evaluation with each
+    stage's leading ceil-pool applied externally == the one-shot
+    forward. These hooks are the seam external kernels plug into (used
+    by the r4 Pallas bake-off — SCALING.md "Pallas verdict (r4)") and
+    by stagewise probing."""
     from srcfinder_tpu.models.googlenet import fold_inference, _ceil_maxpool
     model, variables = fold_inference(*small_model)
-    p23 = tuple(trunk_segment_params(variables, "s23"))
-    p45 = tuple(trunk_segment_params(variables, "s45"))
     wins = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
-    c1 = model.apply(variables, wins, train=False, stage=1)
-    ref23 = _ceil_maxpool(model.apply(
-        variables, model.apply(variables, c1, train=False, stage=2),
-        train=False, stage=3), 3, 2)
-    got23 = fused_trunk_segment(c1, p23, "s23")
-    np.testing.assert_allclose(np.asarray(got23), np.asarray(ref23),
-                               rtol=1e-5, atol=1e-6)
-    s4 = model.apply(variables, ref23, train=False, stage=4,
+    full = np.asarray(model.apply(variables, wins, train=False))
+    # stages 1..3 + stage 4's leading pool done externally
+    x = model.apply(variables, wins, train=False, stage=1)
+    x = model.apply(variables, x, train=False, stage=2)
+    x = model.apply(variables, x, train=False, stage=3)
+    x = _ceil_maxpool(x, 3, 2)
+    got = np.asarray(model.apply(variables, x, train=False,
+                                 start_stage=4, start_pooled=True))
+    np.testing.assert_allclose(got, full, rtol=1e-5, atol=1e-6)
+    # and the stage-5 resume point
+    x4 = model.apply(variables, x, train=False, stage=4,
                      start_stage=4, start_pooled=True)
-    ref45 = np.asarray(model.apply(variables, s4, train=False, stage=5,
-                                   start_stage=5)).mean(axis=(1, 2))
-    got45 = fused_trunk_segment(jnp.asarray(ref23), p45, "s45")
-    np.testing.assert_allclose(np.asarray(got45), ref45,
-                               rtol=1e-5, atol=1e-6)
-    wb = c1.astype(jnp.bfloat16)
-    got16 = fused_trunk_segment(wb, p23, "s23")
-    ref16 = _ceil_maxpool(model.apply(
-        variables, model.apply(variables, wb, train=False, stage=2),
-        train=False, stage=3), 3, 2)
-    np.testing.assert_allclose(np.asarray(got16, np.float32),
-                               np.asarray(ref16, np.float32),
-                               rtol=0.15, atol=0.2)
+    got5 = np.asarray(model.apply(variables, x4, train=False,
+                                  start_stage=5))
+    np.testing.assert_allclose(got5, full, rtol=1e-5, atol=1e-6)
 
 
 def test_cnn_window_scan_small_scene_band_clamp(small_model, rng):
