@@ -28,6 +28,9 @@ BENCH_r*.json — all at benchmark-scene scale on synthetic in-RAM data:
                        SRCFINDER_BENCH_SCENES, default 2 — the stage-3
                        feature set is ~2.7 GB/scene bf16 and N=4
                        exceeds the v5e's 16 GB HBM)
+- fcn_blocked_s        halo-blocked FCN at its 12,000-line design point
+                       (3 windows through one executable; the long-
+                       flightline capability the reference lacks)
 - e2e_s                full srcfinder-pipeline CLI soak at benchmark
                        scale (2.85 GB radiance on disk; fused CMF+masks
                        single-pass read + FCN + salience + IME + wind
@@ -127,6 +130,7 @@ def bench_fcn(out, dtype_name, chunks, iters):
         "iters": iters,
         "time_s_median": round(elapsed, 4),
         "time_s_all": [round(t, 4) for t in times],
+        "fcn_layout": "wide",      # r4 default (chip A/B in SCALING.md)
         "achieved_tflops": round(flops / elapsed / 1e12, 3),
         "mfu": round(flops / elapsed / peak, 4) if peak else None,
         "hbm_bytes_lb_gb": round(bytes_lb / 1e9, 1),
@@ -155,6 +159,33 @@ def bench_fcn_batch(out, model, variables, band, nscenes, iters):
     out[f"fcn_batch{nscenes}_mpix_s"] = round(
         nscenes * (H * W / 1e6) / elapsed, 4)
     out[f"fcn_batch{nscenes}_s"] = round(elapsed, 4)
+
+
+def bench_fcn_blocked(out, model, variables, iters):
+    """Halo-blocked FCN at its long-flightline design point: a 12,000-
+    line synthetic scene (3 windows of block+2*halo lines through ONE
+    executable). The capability the reference lacks (VRAM cliff at
+    cnn/README.md:171), hardware-proven per VERDICT r3 item 5."""
+    import jax.numpy as jnp
+    from srcfinder_tpu.detect.fcn_pipeline import (TRUNK_HALO, _auto_block,
+                                                   fcn_phase_saliency_blocked)
+
+    hl = int(os.environ.get("SRCFINDER_BENCH_BLOCKED_LINES", "12000"))
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(hl, W)).astype(np.float32),
+                      jnp.bfloat16)
+
+    def run():
+        return np.asarray(fcn_phase_saliency_blocked(model, variables,
+                                                     img))
+
+    sal = run()
+    assert sal.shape == (hl, W) and np.isfinite(sal).all()
+    elapsed, _ = _median_time(run, iters)
+    out["fcn_blocked_lines"] = hl
+    out["fcn_blocked_block"] = _auto_block(W, TRUNK_HALO, 32)
+    out["fcn_blocked_s"] = round(elapsed, 4)
+    out["fcn_blocked_mpix_s"] = round(hl * W / 1e6 / elapsed, 4)
 
 
 def bench_cmf(out, iters):
@@ -463,6 +494,8 @@ def main():
         sections = [
             ("fcn_batch", lambda: bench_fcn_batch(out, model, variables,
                                                   band, nsc, iters)),
+            ("fcn_blocked", lambda: bench_fcn_blocked(out, model,
+                                                      variables, iters)),
             ("cmf", lambda: bench_cmf(out, iters)),
             ("exact_cnn", lambda: bench_exact_cnn(out, dtype_name, model,
                                                   variables, band)),
