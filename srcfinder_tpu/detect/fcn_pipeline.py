@@ -470,7 +470,7 @@ def fcn_phase_saliency_blocked(model: GoogLeNet, variables, img,
                                scale: int = 32, block: int | None = None,
                                halo: int = TRUNK_HALO, chunks=(2, 4, 8, 1),
                                mesh=None, mesh_axes=None,
-                               layout: str = "scan"):
+                               layout: str = "wide"):
     """Long-flightline phase saliency: line-blocked with an exact halo.
 
     Real flightlines run 10-20k lines; the single-window phase path's
@@ -506,6 +506,12 @@ def fcn_phase_saliency_blocked(model: GoogLeNet, variables, img,
     per DataLoader item and has no long-scene story; this is the
     TPU-native replacement (VERDICT r2 / SURVEY A6 long-flightline
     scaling).
+
+    Hardware-proven at the design point (r4, real v5e): a 12,000 x 669
+    synthetic flightline runs in 3.52 s = 2.28 Mpix/s with the default
+    wide layout (scan: 5.84 s; layouts bit-identical, maxdiff 0.0) —
+    3 windows of block 4320 + 2x448 halo through one executable, no
+    HBM overflow (SCALING.md "Long flightlines").
     """
     img = jnp.asarray(img)
     h0, w0 = img.shape
