@@ -20,6 +20,7 @@ from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 __all__ = ["GoogLeNet", "googlenet", "CAMPAIGN_NORM", "clamp_ch4",
@@ -348,14 +349,23 @@ def googlenet(num_classes: int = 2, aux_logits: bool = True, **kwargs):
 def _fuse_block(params):
     """Concatenate one inception block's three parallel 1x1 conv+BN
     param sets (branch1, branch2_0, branch3_0 — in the output-channel
-    order Inception slices) into the ``fused0`` layout."""
+    order Inception slices) into the ``fused0`` layout.
+
+    Pure numpy on purpose (r4): these transforms run eagerly at
+    CLI/process startup, and on this box every eager jnp op is a
+    ~30 ms tunnel round trip plus, for each distinct tiny shape, a
+    multi-second remote compile that the persistent cache refuses to
+    keep (below its 1 s floor) — measured minutes per process across
+    the ~60 folded blocks. Host numpy does the same reshuffle in
+    milliseconds; the weights transfer to the device once, at the
+    first jit call."""
     out = {k: v for k, v in params.items()
            if k not in ("branch1", "branch2_0", "branch3_0")}
     parts = [params["branch1"], params["branch2_0"], params["branch3_0"]]
     fused = {}
     for sub in parts[0]:                          # conv (params) / bn
-        fused[sub] = {k: jnp.concatenate([p[sub][k] for p in parts],
-                                         axis=-1)
+        fused[sub] = {k: np.concatenate([np.asarray(p[sub][k])
+                                         for p in parts], axis=-1)
                       for k in parts[0][sub]}
     out["fused0"] = fused
     return out
@@ -394,14 +404,15 @@ def _fold_conv_bn(conv, bn, stats, eps: float = 1e-3):
     kernel' = kernel * scale/sqrt(var+eps) (broadcast over the output-
     channel axis), bias' = bias_bn - mean*scale/sqrt(var+eps) — the
     standard inference-time BatchNorm fold, done in f32 (params are
-    stored f32; the cast to the compute dtype happens at apply)."""
-    inv = (bn["scale"].astype(jnp.float32)
-           / jnp.sqrt(stats["var"].astype(jnp.float32) + eps))
-    kernel = conv["kernel"].astype(jnp.float32) * inv
-    bias = (bn["bias"].astype(jnp.float32)
-            - stats["mean"].astype(jnp.float32) * inv)
-    return {"kernel": kernel.astype(conv["kernel"].dtype),
-            "bias": bias.astype(conv["kernel"].dtype)}
+    stored f32; the cast to the compute dtype happens at apply).
+    Pure numpy — see :func:`_fuse_block` for why."""
+    dt = np.asarray(conv["kernel"]).dtype
+    inv = (np.asarray(bn["scale"], np.float32)
+           / np.sqrt(np.asarray(stats["var"], np.float32) + eps))
+    kernel = np.asarray(conv["kernel"], np.float32) * inv
+    bias = (np.asarray(bn["bias"], np.float32)
+            - np.asarray(stats["mean"], np.float32) * inv)
+    return {"kernel": kernel.astype(dt), "bias": bias.astype(dt)}
 
 
 def _fold_tree(params, stats):
