@@ -100,6 +100,59 @@ def robust_mf_image(infile: str, library: str, outfile: str,
             preloaded=preloaded)
 
 
+_WARMED: set = set()
+
+
+def warm_tpu_async(nrows: int, col_chunk: int, nbands: int, *,
+                   bgmodes: int = 1, pcadim: int = 6, reject: bool = False,
+                   regfull: bool = False, model: str = "looshrinkage",
+                   reflectance: bool = False, dtype=np.float32):
+    """Initialize the accelerator client and stage the CMF executables
+    in a daemon thread, so the ~20-30 s of per-process backend init +
+    compile-cache staging (remote compile server through the tunnel,
+    SCALING.md "CLI startup") overlaps the fused pipeline stage's
+    streaming disk read instead of serializing after it.
+
+    The dummy call replicates the exact jit signature of the column
+    loop (shapes + dtype + static options), so the main pass reuses the
+    in-flight compilation; values are zeros (compilation is shape-based)
+    and the result is discarded. Deduped per (shape, options) tuple per
+    process; f64 runs are not warmed (that path is CPU-bound by
+    design). Failures are swallowed — the warm is purely advisory.
+    Returns the Thread (or None when skipped) so tests can join it.
+    """
+    if np.dtype(dtype) != np.float32:
+        return None
+    key = (nrows, col_chunk, nbands, bgmodes, pcadim, reject, regfull,
+           model, reflectance)
+    if key in _WARMED:
+        return None
+    _WARMED.add(key)
+
+    def _warm():
+        try:
+            x = jnp.zeros((nrows, col_chunk, nbands), dtype)
+            m = jnp.ones((nrows, col_chunk), dtype)
+            a = jnp.zeros((nbands,), dtype)
+            al = jnp.asarray(mfmod.default_alphas().astype(dtype))
+            if bgmodes > 1:
+                res = mfmod.matched_filter_columns_multimodal(
+                    x, m, a, al, bgmodes=bgmodes, pcadim=pcadim,
+                    reject=reject, regfull=regfull, model=model,
+                    reflectance=reflectance)
+            else:
+                res = mfmod.matched_filter_columns(
+                    x, m, a, al, model=model, reflectance=reflectance)
+            jax.block_until_ready(res.mf)
+        except Exception:       # advisory only — the real pass reports
+            pass
+
+    import threading
+    t = threading.Thread(target=_warm, name="cmf-tpu-warm", daemon=True)
+    t.start()
+    return t
+
+
 def _f64_cpu_columns(xblk, cols, abscf, alphas, model, reflectance):
     """Recompute selected columns in float64 on the CPU backend (the
     reference's native precision). Column counts are padded to power-of-2
@@ -170,6 +223,12 @@ def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
     active = active_range_for_library(library, reflectance)
     abscf = load_library(library, active)
     alphas = mfmod.default_alphas()
+    # overlap backend init + executable staging with the slab preload
+    # (no-op if the pipeline CLI already warmed this signature)
+    warm_tpu_async(nrows, col_chunk, active[1] - active[0] + 1,
+                   bgmodes=bgmodes, pcadim=pcadim, reject=reject,
+                   regfull=regfull, model=model, reflectance=reflectance,
+                   dtype=dtype)
     nodata = float(img.metadata.get("data ignore value", -9999))
     if nodata > 0:
         raise ValueError(f"nodata value={nodata} > 0, values will not be masked")

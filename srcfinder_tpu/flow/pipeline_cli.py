@@ -123,6 +123,13 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
             a0, a1 = active_range_for_library(library)
             a0 -= 1
             rgb_bands = (60, 42, 24)
+            # start accelerator init + CMF executable staging NOW, in a
+            # daemon thread: ~20-30 s of per-process tunnel/compile-
+            # server latency overlaps the streaming read below instead
+            # of serializing after it (SCALING.md "CLI startup")
+            from ..cmf.pipeline import warm_tpu_async
+            warm_tpu_async(L, col_chunk, a1 - a0, bgmodes=bgmodes,
+                           dtype=np.dtype(dtype).type)
             slab = np.empty((L, C, a1 - a0), np.float32)
             rgb = np.empty((L, C, 3), np.float32)
 

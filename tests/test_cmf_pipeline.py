@@ -368,3 +368,28 @@ def test_kmeans_three_modes_and_per_column_seeding(rng):
         for k in range(3):
             d = np.linalg.norm(centers[c] - cent[c, k][None], axis=1).min()
             assert d < 1.0
+
+
+def test_warm_tpu_async_dedupes_and_matches_signature(tmp_path, rng):
+    """warm_tpu_async stages the exact executable the column loop uses
+    (same shapes/options -> jit cache hit), dedupes per process, and a
+    warmed-first run produces the identical product."""
+    from srcfinder_tpu.cmf import pipeline as cp
+
+    infile, libf, x, lib = _write_flightline(tmp_path, rng, L=24, C=4)
+    a0, a1 = cp.active_range_for_library(libf)
+    nb = a1 - a0 + 1
+
+    cp._WARMED.clear()
+    t = cp.warm_tpu_async(24, 4, nb)
+    assert t is not None
+    t.join(timeout=120)
+    assert not t.is_alive()
+    # identical signature -> deduped; f64 -> skipped by design
+    assert cp.warm_tpu_async(24, 4, nb) is None
+    assert cp.warm_tpu_async(24, 4, nb, dtype=np.float64) is None
+
+    out = str(tmp_path / "warm_out")
+    cp.robust_mf_image(infile, libf, out, dtype=np.float32, col_chunk=4)
+    img = envi_io.open_envi(out)
+    assert img.nbands == 4
