@@ -257,3 +257,87 @@ def test_alloccache_reexec_preserves_python_dash_m():
         env=env, capture_output=True, text=True, timeout=300)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "usage" in res.stdout.lower()
+
+
+def test_alloccache_shm_arena_persists_across_processes(tmp_path):
+    """The /dev/shm arena: first process creates srcfinder_arena.0 and
+    carves from it; a SECOND process re-attaches the same file (pages
+    already resident -> minor faults) and data semantics are intact.
+    Uses SRCFINDER_ALLOC_SHM_DIR to keep the test hermetic."""
+    if _alloccache_so() is None:
+        import pytest
+        pytest.skip("shim not built")
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ, LD_PRELOAD=_alloccache_so(),
+               SRCFINDER_ALLOC_MIN_MB="4",
+               SRCFINDER_ALLOC_SHM_DIR=str(tmp_path))
+    code = ("import numpy as np\n"
+            "a = np.arange(3_000_000, dtype=np.float64)\n"
+            "assert a[2_222_222] == 2_222_222\n"
+            "z = np.zeros(3_000_000)\n"       # calloc over stale pages
+            "assert z.sum() == 0.0\n"
+            "print('OK', flush=True)\n")
+    for _ in range(2):                         # second run reuses the file
+        res = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=600)
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "OK" in res.stdout
+    arena = tmp_path / "srcfinder_arena.0"
+    assert arena.exists() and arena.stat().st_size >= (24 << 20)
+
+
+def test_alloccache_shm_arena_fork_child_stops_carving(tmp_path):
+    """A forked child must NOT bump the shared arena (overlapping
+    MAP_SHARED carves would corrupt both sides): the child falls back
+    to anonymous mmap, so the arena file size is unchanged by its
+    allocations."""
+    if _alloccache_so() is None:
+        import pytest
+        pytest.skip("shim not built")
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ, LD_PRELOAD=_alloccache_so(),
+               SRCFINDER_ALLOC_MIN_MB="4",
+               SRCFINDER_ALLOC_SHM_DIR=str(tmp_path))
+    code = ("import numpy as np, os\n"
+            "a = np.empty(8 << 20, np.uint8); a[0] = 1\n"
+            "p = '%s/srcfinder_arena.0'\n"
+            "s0 = os.path.getsize(p)\n"
+            "pid = os.fork()\n"
+            "if pid == 0:\n"
+            "    b = np.empty(64 << 20, np.uint8); b[::4096] = 1\n"
+            "    os._exit(0)\n"
+            "os.waitpid(pid, 0)\n"
+            "assert os.path.getsize(p) == s0\n"
+            "print('FORKSAFE', flush=True)\n" % tmp_path)
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "FORKSAFE" in res.stdout
+
+
+def test_alloccache_shm_arena_opt_out(tmp_path):
+    """SRCFINDER_ALLOC_SHM=0 keeps the cache on anonymous mmap — no
+    arena file is created (the escape hatch for fork-and-mutate
+    workloads)."""
+    if _alloccache_so() is None:
+        import pytest
+        pytest.skip("shim not built")
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ, LD_PRELOAD=_alloccache_so(),
+               SRCFINDER_ALLOC_MIN_MB="4", SRCFINDER_ALLOC_SHM="0",
+               SRCFINDER_ALLOC_SHM_DIR=str(tmp_path))
+    res = subprocess.run(
+        [sys.executable, "-c",
+         "import numpy as np\n"
+         "a = np.empty(16 << 20, np.uint8); a[::4096] = 1\n"
+         "print('OK', flush=True)"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "OK" in res.stdout
+    assert not (tmp_path / "srcfinder_arena.0").exists()
