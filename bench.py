@@ -35,6 +35,9 @@ BENCH_r*.json — all at benchmark-scene scale on synthetic in-RAM data:
                        scale (2.85 GB radiance on disk; fused CMF+masks
                        single-pass read + FCN + salience + IME + wind
                        enrichment), with per-stage timers in e2e_stages
+- e2e_warm_s           the same soak run again in a fresh process: the
+                       production steady state (compile cache hot, shm
+                       arena pages resident — SCALING.md "Host memory")
 - regressions          >10% round-over-round slips vs the newest
                        BENCH_r*.json (empty list = clean)
 
@@ -357,6 +360,21 @@ def bench_e2e(out):
     out["e2e_stages"] = stages
     if res.returncode != 0:
         out["e2e_error"] = (res.stderr or res.stdout).strip()[-200:]
+        return
+    # Second fresh-process run = the steady state a production queue
+    # pays per flightline: compile cache hot AND the shm arena's pages
+    # resident (native/alloccache.cpp), so the per-process first-touch
+    # tax is gone. e2e_s keeps the first run (what a cold box pays).
+    shutil.rmtree(outdir, ignore_errors=True)
+    t0 = time.time()
+    res = subprocess.run(cmd, capture_output=True, text=True,
+                         timeout=2400)
+    if res.returncode == 0:
+        out["e2e_warm_s"] = round(time.time() - t0, 1)
+        out["e2e_warm_stages"] = {
+            mt.group(1): float(mt.group(2))
+            for mt in re.finditer(r"\[STAGE\] (.+?) done in ([0-9.]+)s",
+                                  res.stdout)}
 
 
 def check_regressions(out):

@@ -52,6 +52,36 @@ def _stage(name, timers, progress):
     return _T()
 
 
+def _warm_fcn_async(nrows, ncols, weights, model_name, method, fcn_dtype,
+                    load_weights, fcn_saliency_image):
+    """Stage the FCN saliency executable (weights load + fold + compile-
+    cache fetch + one dummy pass on zeros) in a daemon thread while the
+    cmf+masks stage streams the cube — same overlap rationale as
+    cmf.pipeline.warm_tpu_async (SCALING.md "CLI startup"). The real
+    fcn stage then hits the in-process jit cache. Advisory only:
+    failures surface in the real stage, not here."""
+    if not weights:
+        return None
+
+    def _warm():
+        try:
+            import numpy as np
+            import jax.numpy as jnp
+            variables = load_weights(weights)
+            fdt = jnp.bfloat16 if fcn_dtype == "bfloat16" else jnp.float32
+            z = np.zeros((nrows, ncols), np.float32)
+            np.asarray(fcn_saliency_image(z, variables,
+                                          model_name=model_name,
+                                          method=method, dtype=fdt))
+        except Exception:
+            pass
+
+    import threading
+    t = threading.Thread(target=_warm, name="fcn-warm", daemon=True)
+    t.start()
+    return t
+
+
 def run_flightline(radiance: str, library: str, weights: str, outdir: str,
                    model_name: str = "multi_64", bgmodes: int = 1,
                    prob_thr: float = 0.5, ppmm_thr: float = 250.0,
@@ -130,6 +160,12 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
             from ..cmf.pipeline import warm_tpu_async
             warm_tpu_async(L, col_chunk, a1 - a0, bgmodes=bgmodes,
                            dtype=np.dtype(dtype).type)
+            # and the FCN executable behind it (same process, same
+            # rationale: its staging otherwise serializes into the fcn
+            # stage) — the CMF product has the radiance's (L, C) dims,
+            # so the saliency executable's signature is known already
+            _warm_fcn_async(L, C, weights, model_name, method, fcn_dtype,
+                            load_weights, fcn_saliency_image)
             slab = np.empty((L, C, a1 - a0), np.float32)
             rgb = np.empty((L, C, 3), np.float32)
 

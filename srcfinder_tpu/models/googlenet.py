@@ -445,6 +445,13 @@ def fold_inference(model: GoogLeNet, variables):
     (:func:`fold_variables`). On the v5e the separate BN/bias elementwise
     passes were ~18% of exact-CNN device time (pure HBM traffic);
     folding removes them across every inference path. Training and
-    checkpoints stay canonical."""
+    checkpoints stay canonical.
+
+    The fold/fuse math runs in host numpy (see :func:`_fuse_block`),
+    then the whole tree is committed to the default device HERE with
+    ONE ``jax.device_put`` (a transfer, not an op — no eager-compile
+    tax): host-resident weights would otherwise be re-uploaded on
+    EVERY jitted call (~24 MB/call, measured ~0.3-0.9 s through the
+    tunnel depending on its state)."""
     return (model.clone(fused=True, folded=True),
-            fold_variables(fuse_variables(variables)))
+            jax.device_put(fold_variables(fuse_variables(variables))))
