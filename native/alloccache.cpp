@@ -51,13 +51,15 @@
 // when all slots are taken the shim falls back to anonymous mmap.
 //
 // fork() caveat: arena blocks are MAP_SHARED, so a forked child that
-// WRITES IN PLACE into a >= 4 MB buffer allocated before the fork
-// would be visible to the parent (anonymous CoW would have isolated
-// it). The atfork child handler therefore stops the CHILD from
-// carving new arena blocks, and the framework's own fork users
-// (flow/msf_flow.py workers) pass file paths, not live arrays.
+// WRITES IN PLACE into a >= 4 MB buffer LIVE across the fork would be
+// visible to the parent (anonymous CoW would have isolated it). The
+// atfork child handler therefore stops the CHILD from carving new
+// arena blocks AND drops every arena-backed block from the child's
+// inherited freelist (both sides would otherwise pop the same block
+// and write the same /dev/shm offsets); the framework's own fork
+// users (flow/msf_flow.py workers) pass file paths, not live arrays.
 // Disable outright with SRCFINDER_ALLOC_SHM=0 for foreign workloads
-// that fork-and-mutate.
+// that fork-and-mutate live buffers.
 //
 // Tunables (env):
 //   SRCFINDER_ALLOC_CACHE=0       disable (pure pass-through)
@@ -83,6 +85,7 @@
 #include <sys/mman.h>
 #include <sys/file.h>
 #include <sys/stat.h>
+#include <sys/statvfs.h>
 #include <fcntl.h>
 #include <unistd.h>
 #include <pthread.h>
@@ -116,6 +119,12 @@ struct BlockHeader {
     uint64_t magic;
     size_t map_size;       // total mmap length incl. header
     BlockHeader *next;     // freelist link
+    bool from_arena;       // MAP_SHARED carve from the shm arena file
+                           // (atfork_child must drop these from the
+                           // freelist: parent and child would otherwise
+                           // pop the same block from their copies of
+                           // the buckets and write the same /dev/shm
+                           // offsets)
 };
 
 // Registry of live user pointers: open addressing, linear probing.
@@ -197,13 +206,34 @@ State *state() {
         for (int i = 0; i < kArenaSlots; ++i) {
             char path[512];
             snprintf(path, sizeof path, "%s/srcfinder_arena.%d", dir, i);
-            int fd = open(path, O_RDWR | O_CREAT | O_CLOEXEC, 0600);
-            if (fd < 0) break;             // no tmpfs / no perms: anon
+            // The arena dir (/dev/shm) is world-writable: an attacker
+            // who pre-creates the slot (a 0666 file, or a symlink to a
+            // victim file) would get read/write access to every large
+            // buffer this process allocates. O_NOFOLLOW refuses
+            // symlinks; the fstat gate refuses anything that is not a
+            // plain single-link 0600 file we own. The 0600 mode only
+            // applies on create, so it must be VERIFIED, not assumed.
+            int fd = open(path, O_RDWR | O_CREAT | O_CLOEXEC | O_NOFOLLOW,
+                          0600);
+            if (fd < 0) continue;          // symlink/perms: try next slot
+            struct stat sb;
+            if (fstat(fd, &sb) != 0 || !S_ISREG(sb.st_mode) ||
+                sb.st_uid != geteuid() || sb.st_nlink != 1 ||
+                (sb.st_mode & 0077) != 0) {
+                close(fd);                 // foreign/tampered: never use
+                continue;
+            }
             if (flock(fd, LOCK_EX | LOCK_NB) == 0) {
-                struct stat sb;
                 st->arena_fd = fd;         // exclusive while we live
-                st->arena_file = fstat(fd, &sb) == 0
-                                     ? (size_t)sb.st_size : 0;
+                st->arena_file = (size_t)sb.st_size;
+                // cap the arena at what the filesystem can actually
+                // back (tmpfs is finite): existing file + free space
+                struct statvfs vfs;
+                if (fstatvfs(fd, &vfs) == 0) {
+                    size_t room = st->arena_file +
+                        (size_t)vfs.f_bavail * (size_t)vfs.f_frsize;
+                    if (room < st->arena_cap) st->arena_cap = room;
+                }
                 break;
             }
             close(fd);                     // another process owns it
@@ -350,20 +380,33 @@ void *cache_alloc(size_t size) {
         }
     }
     void *m = MAP_FAILED;
+    bool from_arena = false;
     if (s->arena_fd >= 0) {
         // Carve from the shm arena: reserve [bump, bump+want) under the
-        // mutex (growing the file first so the mapping never SIGBUSes),
-        // map outside it. A failed reservation or mmap falls through to
-        // anonymous memory — the arena is an optimization, never a
-        // requirement.
+        // mutex (RESERVING the tmpfs pages first — ftruncate alone
+        // allocates nothing, so a full /dev/shm would deliver SIGBUS on
+        // the first write into a carved page; fallocate surfaces ENOSPC
+        // here instead, and the carve falls through to anonymous
+        // memory), map outside it. The arena is an optimization, never
+        // a requirement.
         size_t off = SIZE_MAX;
         {
             Guard g(s);
             if (s->arena_fd >= 0 && s->arena_bump + want <= s->arena_cap) {
                 if (s->arena_bump + want > s->arena_file) {
-                    if (ftruncate(s->arena_fd,
-                                  (off_t)(s->arena_bump + want)) == 0)
-                        s->arena_file = s->arena_bump + want;
+                    size_t to = s->arena_bump + want;
+                    int r = fallocate(s->arena_fd, 0,
+                                      (off_t)s->arena_file,
+                                      (off_t)(to - s->arena_file));
+                    if (r != 0 && (errno == EOPNOTSUPP ||
+                                   errno == ENOSYS))
+                        // non-tmpfs arena dir without fallocate: keep
+                        // the original best-effort growth
+                        r = ftruncate(s->arena_fd, (off_t)to);
+                    if (r == 0)
+                        s->arena_file = to;
+                    else if (errno == ENOSPC)
+                        s->arena_cap = s->arena_file;  // stop retrying
                 }
                 if (s->arena_bump + want <= s->arena_file) {
                     off = s->arena_bump;
@@ -374,6 +417,7 @@ void *cache_alloc(size_t size) {
         if (off != SIZE_MAX) {
             m = mmap(nullptr, want, PROT_READ | PROT_WRITE, MAP_SHARED,
                      s->arena_fd, (off_t)off);
+            from_arena = (m != MAP_FAILED);
         }
     }
     if (m == MAP_FAILED)
@@ -384,6 +428,7 @@ void *cache_alloc(size_t size) {
     blk->magic = kMagic;
     blk->map_size = want;
     blk->next = nullptr;
+    blk->from_arena = from_arena;
     void *user = (char *)m + kHeader;
     Guard g(s);
     if (!registry_insert((uintptr_t)user)) {
@@ -440,14 +485,33 @@ void atfork_unlock() {
 }
 // The child must not carve from the arena: parent and child would bump
 // the same offsets independently and hand out overlapping MAP_SHARED
-// ranges. Blocks carved BEFORE the fork stay mapped (see the fork()
-// caveat in the header comment). The fd is left open on purpose —
-// closing it here would not release the parent's flock (same open file
-// description) and close() is not async-signal-safe enough for atfork.
+// ranges. LIVE blocks carved before the fork stay mapped (see the
+// fork() caveat in the header comment), but arena-backed blocks in the
+// inherited FREELIST must go: parent and child each hold a copy of the
+// buckets, so both could pop the same block and write the same
+// /dev/shm offsets — the child munmaps them so it can never serve a
+// MAP_SHARED block it shares with the parent (anonymous blocks keep
+// CoW semantics and stay). Safe here: the lock was held across fork,
+// so the lists are consistent, and munmap is async-signal-safe. The fd
+// is left open on purpose — closing it would not release the parent's
+// flock (same open file description) and close() is not
+// async-signal-safe enough for atfork.
 void atfork_child() {
     if (State *s = g_state.load(std::memory_order_acquire)) {
         pthread_mutex_unlock(&s->lock);
         s->arena_fd = -1;
+        for (int b = 0; b < kBuckets; ++b) {
+            BlockHeader **prev = &s->buckets[b];
+            while (BlockHeader *blk = *prev) {
+                if (blk->from_arena) {
+                    *prev = blk->next;
+                    s->cached -= blk->map_size;
+                    munmap(blk, blk->map_size);
+                } else {
+                    prev = &blk->next;
+                }
+            }
+        }
     }
 }
 

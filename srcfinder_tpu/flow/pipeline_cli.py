@@ -116,6 +116,11 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
     cmff = os.path.join(outdir, stem.replace("_rdn", "_cmf")
                         if "_rdn" in stem else stem + "_cmf")
     products["cmf"] = cmff
+    # saliency product path is derived from cmff alone — computed HERE so
+    # the fused stage knows whether the fcn stage will even run (the warm
+    # thread must not burn the single chip staging an executable for a
+    # stage that will be [SKIP]ped — r4 advisor finding)
+    salf = os.path.join(outdir, os.path.basename(cmff) + "_saliency")
     need_cmf = not os.path.exists(cmff)
     if not need_cmf:
         progress(f"[SKIP] CMF exists: {cmff}")
@@ -163,9 +168,15 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
             # and the FCN executable behind it (same process, same
             # rationale: its staging otherwise serializes into the fcn
             # stage) — the CMF product has the radiance's (L, C) dims,
-            # so the saliency executable's signature is known already
-            _warm_fcn_async(L, C, weights, model_name, method, fcn_dtype,
-                            load_weights, fcn_saliency_image)
+            # so the saliency executable's signature is known already.
+            # Skipped when the saliency product already exists: the fcn
+            # stage will be [SKIP]ped, and a full-scene dummy pass would
+            # only compete with the CMF for the single chip (and could
+            # be mid-TPU-call at interpreter shutdown on fast runs).
+            if not os.path.exists(salf):
+                _warm_fcn_async(L, C, weights, model_name, method,
+                                fcn_dtype, load_weights,
+                                fcn_saliency_image)
             slab = np.empty((L, C, a1 - a0), np.float32)
             rgb = np.empty((L, C, 3), np.float32)
 
@@ -220,7 +231,6 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
                 products["masks"] = None
 
     # ---- L3: FCN saliency ----------------------------------------------
-    salf = os.path.join(outdir, os.path.basename(cmff) + "_saliency")
     products["saliency"] = salf
     if os.path.exists(salf):
         progress(f"[SKIP] saliency exists: {salf}")

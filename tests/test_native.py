@@ -319,6 +319,109 @@ def test_alloccache_shm_arena_fork_child_stops_carving(tmp_path):
     assert "FORKSAFE" in res.stdout
 
 
+def test_alloccache_shm_arena_fork_drops_freelist(tmp_path):
+    """Arena-backed blocks in the freelist must NOT survive into a
+    forked child: parent and child each hold a copy of the buckets, so
+    both could pop the SAME MAP_SHARED block and silently corrupt each
+    other. The atfork child handler munmaps arena-backed free blocks;
+    the child's writes into its replacement allocation must be
+    invisible to the parent's re-popped block (r4 advisor finding)."""
+    if _alloccache_so() is None:
+        import pytest
+        pytest.skip("shim not built")
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ, LD_PRELOAD=_alloccache_so(),
+               SRCFINDER_ALLOC_MIN_MB="4",
+               SRCFINDER_ALLOC_SHM_DIR=str(tmp_path))
+    code = ("import numpy as np, os\n"
+            "a = np.full(2_000_000, 1.0)\n"   # 16 MB arena block
+            "del a\n"                          # -> freelist (MAP_SHARED)
+            "pid = os.fork()\n"
+            "if pid == 0:\n"
+            "    b = np.empty(2_000_000, np.float64)\n"  # same bucket
+            "    b[:] = 666.0\n"
+            "    os._exit(0)\n"
+            "os.waitpid(pid, 0)\n"
+            "c = np.empty(2_000_000, np.float64)\n"  # parent re-pops it
+            "assert not (c == 666.0).any(), 'child wrote shared pages'\n"
+            "print('FREELIST_FORKSAFE', flush=True)\n")
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "FREELIST_FORKSAFE" in res.stdout
+    # sanity: the arena was actually in play (file exists and was carved)
+    assert (tmp_path / "srcfinder_arena.0").stat().st_size >= (16 << 20)
+
+
+def test_alloccache_shm_arena_rejects_tampered_slot(tmp_path):
+    """A pre-created slot file the process does not fully own (symlink,
+    or group/other-accessible) must be REJECTED — /dev/shm is world-
+    writable, so trusting a pre-existing srcfinder_arena.N would hand
+    an attacker read/write access to every large buffer (r4 advisor
+    finding). Slot 0 is a symlink, slot 1 is mode 0666: both skipped;
+    the shim lands on slot 2 and semantics stay intact."""
+    if _alloccache_so() is None:
+        import pytest
+        pytest.skip("shim not built")
+    import os
+    import subprocess
+    import sys
+    victim = tmp_path / "victim"
+    victim.write_bytes(b"")
+    os.symlink(victim, tmp_path / "srcfinder_arena.0")
+    bad = tmp_path / "srcfinder_arena.1"
+    bad.write_bytes(b"")
+    os.chmod(bad, 0o666)
+    env = dict(os.environ, LD_PRELOAD=_alloccache_so(),
+               SRCFINDER_ALLOC_MIN_MB="4",
+               SRCFINDER_ALLOC_SHM_DIR=str(tmp_path))
+    code = ("import numpy as np\n"
+            "a = np.full(2_000_000, 3.0)\n"
+            "assert a.sum() == 6_000_000.0\n"
+            "print('OK', flush=True)\n")
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "OK" in res.stdout
+    assert victim.stat().st_size == 0          # symlink never followed
+    assert bad.stat().st_size == 0             # 0666 file never used
+    assert (tmp_path / "srcfinder_arena.2").exists()  # clean slot taken
+
+
+def test_alloccache_shm_arena_overflow_falls_back(tmp_path):
+    """A carve the arena cannot back must fall through to anonymous
+    memory instead of SIGBUSing on first write (r4 advisor finding:
+    ftruncate reserved no tmpfs pages; growth is now fallocate, ENOSPC
+    and the cap share the same fall-through). Cap the arena at 1 GB,
+    allocate past it: small blocks carve from the arena, the oversized
+    one goes anonymous, every page writable."""
+    if _alloccache_so() is None:
+        import pytest
+        pytest.skip("shim not built")
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ, LD_PRELOAD=_alloccache_so(),
+               SRCFINDER_ALLOC_MIN_MB="4",
+               SRCFINDER_ALLOC_SHM_GB="1",
+               SRCFINDER_ALLOC_SHM_DIR=str(tmp_path))
+    code = ("import numpy as np\n"
+            "s = np.full(2_000_000, 1.0)\n"    # 16 MB: arena-backed
+            "a = np.full(160_000_000, 2.0)\n"  # 1.28 GB > cap: anonymous
+            "a[::511] = 5.0\n"                 # touch every page
+            "assert a[511] == 5.0 and a[1] == 2.0 and s[0] == 1.0\n"
+            "print('OK', flush=True)\n")
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "OK" in res.stdout
+    arena = tmp_path / "srcfinder_arena.0"
+    assert arena.exists()                       # small block was carved
+    assert arena.stat().st_size <= (1 << 30)   # big one never grew it
+
+
 def test_alloccache_shm_arena_opt_out(tmp_path):
     """SRCFINDER_ALLOC_SHM=0 keeps the cache on anonymous mmap — no
     arena file is created (the escape hatch for fork-and-mutate
