@@ -31,15 +31,30 @@ BENCH_r*.json — all at benchmark-scene scale on synthetic in-RAM data:
 - fcn_blocked_s        halo-blocked FCN at its 12,000-line design point
                        (3 windows through one executable; the long-
                        flightline capability the reference lacks)
+- train_step_s         SAM training step at the reference geometry:
+                       GoogLeNet-1ch, 256x256 tiles, batch 32, weighted
+                       CE, 2 fwd+bwd per step, BN stats on pass 1 only
+                       (median of >= 5 warm steps; train_ex_s = ex/s)
 - e2e_s                full srcfinder-pipeline CLI soak at benchmark
                        scale (2.85 GB radiance on disk; fused CMF+masks
                        single-pass read + FCN + salience + IME + wind
-                       enrichment), with per-stage timers in e2e_stages
-- e2e_warm_s           the same soak run again in a fresh process: the
+                       enrichment): FIRST of SRCFINDER_BENCH_E2E_RUNS
+                       (default 3) fresh-process runs — what a cold box
+                       pays; per-stage timers in e2e_stages, the fused
+                       stage's read+masks/cmf split in e2e_phases
+- e2e_warm_s           median of the remaining fresh-process runs: the
                        production steady state (compile cache hot, shm
-                       arena pages resident — SCALING.md "Host memory")
+                       arena pages resident — SCALING.md "Host memory");
+                       all runs in e2e_s_all
+- e2e_health_mb_s      host page-supply probe (fresh-anon first-touch
+                       MB/s) taken before each e2e run: degraded probes
+                       (< ~200 MB/s) mark runs whose host-path timings
+                       measure the hypervisor, not the framework
 - regressions          >10% round-over-round slips vs the newest
-                       BENCH_r*.json (empty list = clean)
+                       BENCH_r*.json, incl. flattened e2e stage timers
+                       (empty list = clean); when non-empty, a fresh
+                       page probe rides in regressions_page_probe_mb_s
+                       so each slip is resolvable to code vs host state
 
 Each extra section is fail-soft: an error lands in the JSON as
 ``<name>_error`` instead of losing the whole line.
@@ -79,6 +94,37 @@ def _median_time(run, iters):
         run()
         times.append(time.time() - t0)
     return float(np.median(times)), times
+
+
+def host_page_probe(mb: int = 256, budget_s: float = 3.0) -> float:
+    """Hypervisor page-supply health: MB/s of first-touch writes into
+    FRESH anonymous memory (4 KB stride via a raw mmap, deliberately
+    bypassing the alloccache shim's pooled/arena blocks). This is the
+    one number that separates a healthy host (700-1500 MB/s) from a
+    degraded one (9-114 MB/s) on this VM — SCALING.md "Host memory" —
+    so every variance-prone host-path timing records it as exculpatory
+    evidence: a slip WITH a degraded probe is hypervisor weather, a
+    slip under a healthy probe is a code regression (VERDICT r4
+    items 1/4/8). Time-bounded: in degraded states touching the full
+    buffer would itself take minutes."""
+    import mmap as _mmap
+    total = mb << 20
+    chunk = 16 << 20
+    buf = _mmap.mmap(-1, total)
+    a = np.frombuffer(buf, np.uint8)
+    try:
+        touched = 0
+        t0 = time.time()
+        for off in range(0, total, chunk):
+            a[off:off + chunk:4096] = 1
+            touched += chunk
+            if time.time() - t0 > budget_s:
+                break
+        dt = max(time.time() - t0, 1e-9)
+        return round(touched / dt / 1e6, 1)
+    finally:
+        del a                 # release the exported buffer before close
+        buf.close()
 
 
 def bench_fcn(out, dtype_name, chunks, iters):
@@ -257,6 +303,54 @@ def bench_masks(out, iters):
     out["masks_s"] = round(_median_time(run, iters)[0], 4)
 
 
+def bench_train(out, iters):
+    """SAM training step at the reference's geometry (VERDICT r4
+    item 6): GoogLeNet-1ch, 256x256 tiles, batch 32, class-weighted CE
+    (weights ~9-23, cnn/training/README.md:110-138), SAM rho=2.0
+    adaptive wrapping SGD(momentum .9, wd 5e-4) — 2 fwd+bwd per step,
+    BN running stats updated on the first pass only (reference:
+    cnn/training/experiment_script_all.py:346-381). Matches
+    train.train_experiment's setup exactly (same model init, optimizer,
+    jitted step); each timed step includes the float(loss) sync the
+    production epoch loop pays per batch. Reports the median warm step
+    and examples/s; the M60 reference has no published step time — the
+    epoch wall-clock in its README transcripts is the comparable."""
+    import jax
+    import jax.numpy as jnp
+    from srcfinder_tpu.models.googlenet import googlenet
+    from srcfinder_tpu.train.sam import (TrainState, make_inner_optimizer,
+                                         make_sam_train_step)
+
+    batch, crop = 32, 256
+    model = googlenet(num_classes=2)
+    key = jax.random.PRNGKey(0)
+    key, kinit, kdrop = jax.random.split(key, 3)
+    variables = model.init({"params": kinit, "dropout": kdrop},
+                           jnp.zeros((1, crop, crop, 1)), train=True)
+    optimizer = make_inner_optimizer()
+    state = TrainState(variables["params"], variables["batch_stats"],
+                       optimizer.init(variables["params"]))
+    step = make_sam_train_step(model, optimizer,
+                               jnp.asarray([1.0, 9.2]))  # CalCH4_v8-like
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.normal(0.0, 1.0, (batch, crop, crop, 1))
+                         .astype(np.float32))
+    labels = jnp.asarray((rng.random(batch) > 0.9).astype(np.int32))
+
+    def run():
+        nonlocal state, key
+        key, sub = jax.random.split(key)
+        state, loss = step(state, images, labels, 1e-4, sub)
+        return float(loss)
+
+    loss0 = run()                                # compile
+    assert np.isfinite(loss0)
+    elapsed, times = _median_time(run, max(iters, 5))
+    out["train_step_s"] = round(elapsed, 4)
+    out["train_step_s_all"] = [round(t, 4) for t in times]
+    out["train_ex_s"] = round(batch / elapsed, 1)
+
+
 def bench_exact_cnn(out, dtype_name, model, variables, band):
     """First run reported separately (compile-inclusive when the
     persistent cache is cold); exact_cnn_s is the median of 2 warm
@@ -282,12 +376,21 @@ def bench_exact_cnn(out, dtype_name, model, variables, band):
 
 def bench_e2e(out):
     """Full srcfinder-pipeline soak at benchmark scale (VERDICT r3
-    item 2): a 2801 x 598 x 425 f32 BIL radiance (2.85 GB on disk,
-    synthetic plume) through ONE CLI subprocess with every stage on —
-    fused single-pass CMF+masks read, FCN saliency, plume list, IME,
-    wind/emission enrichment. e2e_s is the subprocess wall time (incl.
-    backend init, as a real CLI run pays it); per-stage [STAGE] timers
-    are parsed into e2e_stages."""
+    item 2, medianized + health-probed r5 per VERDICT r4 item 1): a
+    2801 x 598 x 425 f32 BIL radiance (2.85 GB on disk, synthetic
+    plume) through SRCFINDER_BENCH_E2E_RUNS (default 3) fresh CLI
+    subprocesses with every stage on — fused single-pass CMF+masks
+    read, FCN saliency, plume list, IME, wind/emission enrichment.
+
+    Reported: e2e_s (first run — what a cold box pays), e2e_warm_s
+    (median of the remaining fresh-process runs — the production
+    steady state: compile cache hot, shm arena pages resident),
+    e2e_s_all (every run), e2e_health_mb_s (the host page-supply
+    probe taken immediately before each run — the exculpatory
+    evidence that tells hypervisor weather from code regressions),
+    e2e_stages (per-run [STAGE] timers) and e2e_phases (the fused
+    stage's [PHASE] split: host-bound read+masks vs tunnel/TPU-bound
+    cmf — per run, so a slow run is attributable)."""
     import re
     import subprocess
     import sys
@@ -342,39 +445,46 @@ def bench_e2e(out):
 
     outdir = os.path.join(base, "out")
     import shutil
-    shutil.rmtree(outdir, ignore_errors=True)
     cmd = [sys.executable, "-m", "srcfinder_tpu.flow.pipeline_cli", rdn,
            "--library", libf, "--weights", wf, "-o", outdir,
            "--ime", "--masks", "--winds", os.path.join(base, "winds"),
            "--wind-ext", ".npz", "--col_chunk", "256",
            "--prob_thr", "0.0", "--ppmm_thr", "500",
            "--fcn-dtype", "bfloat16"]
-    t0 = time.time()
-    res = subprocess.run(cmd, capture_output=True, text=True,
-                         timeout=2400)
-    out["e2e_s"] = round(time.time() - t0, 1)
-    stages = {}
-    for mt in re.finditer(r"\[STAGE\] (.+?) done in ([0-9.]+)s",
-                          res.stdout):
-        stages[mt.group(1)] = float(mt.group(2))
-    out["e2e_stages"] = stages
-    if res.returncode != 0:
-        out["e2e_error"] = (res.stderr or res.stdout).strip()[-200:]
-        return
-    # Second fresh-process run = the steady state a production queue
-    # pays per flightline: compile cache hot AND the shm arena's pages
-    # resident (native/alloccache.cpp), so the per-process first-touch
-    # tax is gone. e2e_s keeps the first run (what a cold box pays).
-    shutil.rmtree(outdir, ignore_errors=True)
-    t0 = time.time()
-    res = subprocess.run(cmd, capture_output=True, text=True,
-                         timeout=2400)
-    if res.returncode == 0:
-        out["e2e_warm_s"] = round(time.time() - t0, 1)
-        out["e2e_warm_stages"] = {
-            mt.group(1): float(mt.group(2))
-            for mt in re.finditer(r"\[STAGE\] (.+?) done in ([0-9.]+)s",
-                                  res.stdout)}
+    runs = int(os.environ.get("SRCFINDER_BENCH_E2E_RUNS", "3"))
+    times, stages_all, phases_all, health = [], [], [], []
+    for _ in range(runs):
+        shutil.rmtree(outdir, ignore_errors=True)
+        health.append(host_page_probe())
+        t0 = time.time()
+        res = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=2400)
+        dt = round(time.time() - t0, 1)
+        stages = {mt.group(1): float(mt.group(2)) for mt in re.finditer(
+            r"\[STAGE\] (.+?) done in ([0-9.]+)s", res.stdout)}
+        phases = {mt.group(1): float(mt.group(2)) for mt in re.finditer(
+            r"\[PHASE\] (.+?) done in ([0-9.]+)s", res.stdout)}
+        if res.returncode != 0:
+            out["e2e_error"] = (res.stderr or res.stdout).strip()[-200:]
+            out["e2e_health_mb_s"] = health
+            return
+        times.append(dt)
+        stages_all.append(stages)
+        phases_all.append(phases)
+    # first run = what a cold box pays; the rest are the production
+    # steady state (compile cache hot, shm arena pages resident)
+    out["e2e_s"] = times[0]
+    out["e2e_stages"] = stages_all[0]
+    out["e2e_s_all"] = times
+    out["e2e_health_mb_s"] = health
+    out["e2e_phases"] = phases_all
+    if len(times) > 1:
+        warm = times[1:]
+        out["e2e_warm_s"] = float(np.median(warm))
+        # stages of the run closest to the warm median (attributable)
+        wi = 1 + int(np.argmin([abs(t - out["e2e_warm_s"])
+                                for t in warm]))
+        out["e2e_warm_stages"] = stages_all[wi]
 
 
 def check_regressions(out):
@@ -393,17 +503,38 @@ def check_regressions(out):
     except Exception:
         return
     out["regressions_vs"] = os.path.basename(files[-1])
-    for k, old in prev.items():
-        new = out.get(k)
+    # flatten the per-stage e2e timer dicts so stage-level slips are
+    # diffed too, not just the totals (VERDICT r4 item 8)
+    def _flat(d):
+        flat = dict(d)
+        for pk in ("e2e_stages", "e2e_warm_stages"):
+            for sk, sv in (d.get(pk) or {}).items():
+                flat[f"{pk}.{sk}_s"] = sv
+        return flat
+    cur = _flat(out)
+    for k, old in _flat(prev).items():
+        new = cur.get(k)
         if not (isinstance(old, (int, float)) and
                 isinstance(new, (int, float)) and old > 0):
             continue
         if k == "value" or k.endswith("_mpix_s"):     # rate: higher wins
             if new < old * 0.90:
                 out["regressions"].append(f"{k}: {old} -> {new}")
+        elif k.endswith("_mb_s"):                     # probes: informational
+            continue
         elif _re.search(r"_s$|_s_median$", k):        # time: lower wins
             if new > old * 1.10:
                 out["regressions"].append(f"{k}: {old} -> {new}")
+    if out["regressions"]:
+        # exculpatory evidence: a flagged slip under a degraded page
+        # probe is hypervisor weather, not code (SCALING.md "Host
+        # memory"); a slip with every probe healthy is a real
+        # regression. Probes taken during the run ride in
+        # masks_host_mb_s / e2e_health_mb_s; this one is "now".
+        try:
+            out["regressions_page_probe_mb_s"] = host_page_probe()
+        except Exception:
+            pass
 
 
 def main():
@@ -492,6 +623,7 @@ def main():
                     "jax.config.update('jax_platforms', 'cpu')\n"
                     "import bench\n"
                     "out = {}\n"
+                    "out['masks_host_mb_s'] = bench.host_page_probe()\n"
                     f"bench.bench_masks(out, {iters})\n"
                     "print('BENCHJSON ' + json.dumps(out))\n")
             res = subprocess.run(
@@ -515,6 +647,7 @@ def main():
             ("fcn_blocked", lambda: bench_fcn_blocked(out, model,
                                                       variables, iters)),
             ("cmf", lambda: bench_cmf(out, iters)),
+            ("train", lambda: bench_train(out, iters)),
             ("exact_cnn", lambda: bench_exact_cnn(out, dtype_name, model,
                                                   variables, band)),
             ("e2e", lambda: bench_e2e(out)),

@@ -188,6 +188,11 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
                 slab[r0:r1] = blk[:, :, p0:p0 + (a1 - a0)]
                 rgb[r0:r1] = blk[:, :, [pos[b] for b in rgb_bands]]
 
+            # [PHASE] timers split the fused stage for bench.py: the
+            # read+masks phase is host-bound (disk + page supply), the
+            # cmf phase is tunnel/TPU-bound — a cold/warm discrepancy
+            # is attributable only with this split (VERDICT r4 item 1)
+            t_ph = time.time()
             try:
                 masks_for_flightline(radiance, outdir,
                                      out_name=mskname + ".part",
@@ -201,12 +206,16 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
                 progress(f"[WARN] fused masks failed, masks skipped: {e}")
                 products["masks"] = None
             else:
+                progress(f"[PHASE] read+masks done in "
+                         f"{time.time() - t_ph:.1f}s")
+                t_ph = time.time()
                 robust_mf_image(radiance, library, cmff + ".part",
                                 bgmodes=bgmodes,
                                 dtype=np.dtype(dtype).type,
                                 col_chunk=col_chunk,
                                 rgb_bands=rgb_bands,
                                 preloaded=(slab, rgb))
+                progress(f"[PHASE] cmf done in {time.time() - t_ph:.1f}s")
                 _finalize((mskf + ".part", mskf), (cmff + ".part", cmff))
                 fused = True
             need_masks = False
