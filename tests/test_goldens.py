@@ -150,9 +150,67 @@ def _dedup_case():
     return (overlaps["V2"].to_numpy(np.float64), kept_idx)
 
 
+def _e2e_plumelist_case():
+    """Full-pipeline plume-list golden (VERDICT r4 item 7): a small
+    synthetic radiance runs radiance -> fused CMF+masks single-pass
+    read -> FCN saliency -> salience2detections IN-PROCESS via
+    flow.pipeline_cli.run_flightline — the same code path as the CLI —
+    and the resulting canonical plume-list rows are pinned: candidate
+    ids, georeferenced maxima (lat/lon), and the CMF ppmm stats. A
+    refactor that moves the MF scale, the UTM geodesy, or the
+    candidate labeling now fails CI instead of the eyeball (the unit
+    goldens above pin each stage alone; nothing pinned the chain)."""
+    import tempfile
+    import pandas as pd
+    from srcfinder_tpu.core.envi import save_envi
+    from srcfinder_tpu.flow.pipeline_cli import run_flightline
+    from srcfinder_tpu.models import googlenet
+    from srcfinder_tpu.detect.cnn_cli import save_weights
+
+    rng = np.random.default_rng(12345)
+    L, C, B = 96, 32, 425
+    cube = np.abs(rng.normal(4.0, 0.5, (L, C, B))).astype(np.float32) + 0.5
+    absorb = np.ones(B, np.float32)
+    absorb[360:410] = 0.9
+    cube[40:46, 10:14] *= absorb          # plume in the active window
+    cube[0, 0, :] = -9999.0               # nodata corner
+    meta = {"data ignore value": -9999,
+            "map info": ["UTM", "1", "1", "272247.15", "3992010.65",
+                         "3.1", "3.1", "11", "North", "WGS-84",
+                         "units=Meters", "rotation=0"],
+            "wavelength": [f"{w:.2f}" for w in np.linspace(380, 2500, B)]}
+    with tempfile.TemporaryDirectory() as d:
+        rdn = os.path.join(d, "ang20200924t211102_rdn_v2y1_img")
+        save_envi(rdn + ".hdr", cube, metadata=meta, interleave="bil")
+        lib = np.zeros((B, 3))
+        lib[:, 0] = np.arange(1, B + 1)
+        lib[:, 1] = np.linspace(380, 2500, B)
+        lib[:, 2] = -np.abs(rng.normal(size=B)) * 0.1
+        libf = os.path.join(d, "ang_ch4_unit_3col_425chan.txt")
+        np.savetxt(libf, lib)
+        model = googlenet(num_classes=2, dropout=0.0, dropout_aux=0.0)
+        wf = os.path.join(d, "w.npz")
+        save_weights(wf, model.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, 1)),
+                                    train=False))
+        prods = run_flightline(rdn, libf, wf, os.path.join(d, "out"),
+                               prob_thr=0.0, ppmm_thr=100.0,
+                               do_masks=True, do_ime=True, col_chunk=32,
+                               progress=lambda *a, **k: None)
+        df = pd.read_csv(prods["detections_csv"])
+        ime = pd.read_csv(prods["ime_csv"])
+    df = df.sort_values("Candidate ID").reset_index(drop=True)
+    geo = df[["Plume Latitude (deg)", "Plume Longitude (deg)"]
+             ].to_numpy(np.float64)
+    ppmm = df[["CMF Min (ppmm)", "CMF Max (ppmm)", "CMF Median (ppmm)",
+               "CMF MAD (ppmm)"]].to_numpy(np.float64)
+    ime_v = np.sort(ime["ime_kg"].to_numpy(np.float64))
+    return (df["Candidate ID"].to_numpy(np.str_), geo, ppmm, ime_v)
+
+
 _CASES = {"cmf_mf": _cmf_case, "fcn_saliency": _fcn_case,
           "masks": _masks_case, "ime": _ime_case, "wind": _wind_case,
-          "dedup": _dedup_case}
+          "dedup": _dedup_case, "e2e_plumelist": _e2e_plumelist_case}
 
 
 def _golden_path(name):
@@ -169,8 +227,14 @@ def test_golden(name):
     ref = np.load(path)
     assert len(ref.files) == len(got)
     for i in range(len(got)):
-        np.testing.assert_allclose(got[i], ref[f"a{i:02d}"], rtol=1e-6,
-                                   atol=1e-9, err_msg=f"{name}[a{i:02d}]")
+        g = np.asarray(got[i])
+        if g.dtype.kind in "US":       # string columns (candidate ids)
+            np.testing.assert_array_equal(g, ref[f"a{i:02d}"],
+                                          err_msg=f"{name}[a{i:02d}]")
+        else:
+            np.testing.assert_allclose(g, ref[f"a{i:02d}"], rtol=1e-6,
+                                       atol=1e-9,
+                                       err_msg=f"{name}[a{i:02d}]")
 
 
 if __name__ == "__main__":
