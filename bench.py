@@ -142,8 +142,13 @@ def bench_fcn(out, dtype_name, chunks, iters):
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     model = googlenet(num_classes=2, dropout=0.0, dropout_aux=0.0,
                       dtype=dtype)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 64, 64, 1)), train=False)
+    # init on the host backend: eager init on the remote-TPU backend
+    # pays the ~31.5 ms tunnel dispatch constant per tiny op (hundreds
+    # of them) — fold_inference commits the folded tree to the TPU with
+    # ONE device_put (the CLI startup pattern, SCALING.md)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 1)), train=False)
     # the shipped inference transform: parallel 1x1 convs widened + BN
     # folded into conv weights — what every prediction CLI runs
     model, variables = fold_inference(model, variables)
@@ -325,11 +330,16 @@ def bench_train(out, iters):
     model = googlenet(num_classes=2)
     key = jax.random.PRNGKey(0)
     key, kinit, kdrop = jax.random.split(key, 3)
-    variables = model.init({"params": kinit, "dropout": kdrop},
-                           jnp.zeros((1, crop, crop, 1)), train=True)
+    # init + optimizer-state zeros on the host backend (eager ops on the
+    # remote-TPU backend pay ~31.5 ms tunnel dispatch EACH), then commit
+    # the whole train state with one device_put transfer
     optimizer = make_inner_optimizer()
-    state = TrainState(variables["params"], variables["batch_stats"],
-                       optimizer.init(variables["params"]))
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = model.init({"params": kinit, "dropout": kdrop},
+                               jnp.zeros((1, crop, crop, 1)), train=True)
+        state = TrainState(variables["params"], variables["batch_stats"],
+                           optimizer.init(variables["params"]))
+    state = jax.device_put(state)
     step = make_sam_train_step(model, optimizer,
                                jnp.asarray([1.0, 9.2]))  # CalCH4_v8-like
     rng = np.random.default_rng(3)
