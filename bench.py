@@ -50,11 +50,18 @@ BENCH_r*.json — all at benchmark-scene scale on synthetic in-RAM data:
                        MB/s) taken before each e2e run: degraded probes
                        (< ~200 MB/s) mark runs whose host-path timings
                        measure the hypervisor, not the framework
+- tunnel_h2d_mb_s      measured host->device bandwidth through the axon
+                       tunnel (utils/accelprobe) at e2e time; per-child
+                       measurements + the routed CMF backend ride in
+                       e2e_h2d_mb_s / e2e_cmf_backend — the r5 fix for
+                       the warm>cold e2e mystery (SCALING.md): the CMF
+                       column loop routes device-vs-host by this number
 - regressions          >10% round-over-round slips vs the newest
                        BENCH_r*.json, incl. flattened e2e stage timers
-                       (empty list = clean); when non-empty, a fresh
-                       page probe rides in regressions_page_probe_mb_s
-                       so each slip is resolvable to code vs host state
+                       (empty list = clean); when non-empty, fresh page
+                       + link probes ride in regressions_page_probe_mb_s
+                       / regressions_h2d_mb_s so each slip is resolvable
+                       to code vs host state vs tunnel weather
 
 Each extra section is fail-soft: an error lands in the JSON as
 ``<name>_error`` instead of losing the whole line.
@@ -437,8 +444,13 @@ def bench_e2e(out):
         from srcfinder_tpu.models import googlenet as _g
         from srcfinder_tpu.detect.cnn_cli import save_weights
         m = _g(num_classes=2, dropout=0.0, dropout_aux=0.0)
-        save_weights(wf, m.init(jax.random.PRNGKey(0),
-                                jnp.zeros((1, 64, 64, 1)), train=False))
+        # fixture-only weights: init on the host — on the default (axon)
+        # device this one-off init was observed to cost ~5 min of remote
+        # compiles (truncated_normal per layer, r5 cache mtimes)
+        with jax.default_device(jax.devices("cpu")[0]):
+            save_weights(wf, m.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, 1)),
+                                    train=False))
         for day, hh in (("20260817", 23), ("20260818", 0),
                         ("20260818", 1)):
             d = os.path.join(base, "winds", "hrrr", day)
@@ -461,8 +473,22 @@ def bench_e2e(out):
            "--wind-ext", ".npz", "--col_chunk", "256",
            "--prob_thr", "0.0", "--ppmm_thr", "500",
            "--fcn-dtype", "bfloat16"]
+    # session link state, for the record (the same probe drives the CMF
+    # device-vs-host routing inside each child — SCALING.md "The e2e
+    # warm>cold mystery": h2d bandwidth through the tunnel is weather,
+    # 75 -> 12 -> ~1 MB/s across rounds, and unmeasured it is
+    # indistinguishable from a code regression)
+    try:
+        from srcfinder_tpu.utils.accelprobe import h2d_probe
+        p = h2d_probe()
+        if p:
+            out["tunnel_h2d_mb_s"] = p["mb_s"]
+            out["tunnel_h2d_overhead_s"] = p["overhead_s"]
+    except Exception:
+        pass
     runs = int(os.environ.get("SRCFINDER_BENCH_E2E_RUNS", "3"))
     times, stages_all, phases_all, health = [], [], [], []
+    backends, h2d_all = [], []
     for _ in range(runs):
         shutil.rmtree(outdir, ignore_errors=True)
         health.append(host_page_probe())
@@ -474,6 +500,11 @@ def bench_e2e(out):
             r"\[STAGE\] (.+?) done in ([0-9.]+)s", res.stdout)}
         phases = {mt.group(1): float(mt.group(2)) for mt in re.finditer(
             r"\[PHASE\] (.+?) done in ([0-9.]+)s", res.stdout)}
+        # the child's routed CMF backend + its own link measurement
+        pm = re.search(r"\[PROBE\] cmf backend (\w+): (.*)", res.stdout)
+        backends.append(pm.group(1) if pm else None)
+        bm = re.search(r"h2d ([0-9.]+) MB/s", pm.group(2)) if pm else None
+        h2d_all.append(float(bm.group(1)) if bm else None)
         if res.returncode != 0:
             out["e2e_error"] = (res.stderr or res.stdout).strip()[-200:]
             out["e2e_health_mb_s"] = health
@@ -488,6 +519,8 @@ def bench_e2e(out):
     out["e2e_s_all"] = times
     out["e2e_health_mb_s"] = health
     out["e2e_phases"] = phases_all
+    out["e2e_cmf_backend"] = backends
+    out["e2e_h2d_mb_s"] = h2d_all
     if len(times) > 1:
         warm = times[1:]
         out["e2e_warm_s"] = float(np.median(warm))
@@ -543,6 +576,15 @@ def check_regressions(out):
         # masks_host_mb_s / e2e_health_mb_s; this one is "now".
         try:
             out["regressions_page_probe_mb_s"] = host_page_probe()
+        except Exception:
+            pass
+        # link weather: TPU-path slips (exact_cnn_first_s, e2e totals)
+        # under a degraded h2d probe are tunnel state, not code
+        try:
+            from srcfinder_tpu.utils.accelprobe import h2d_probe
+            p = h2d_probe(refresh=True)
+            if p:
+                out["regressions_h2d_mb_s"] = p["mb_s"]
         except Exception:
             pass
 

@@ -57,7 +57,8 @@ def robust_mf_image(infile: str, library: str, outfile: str,
                     rgb_bands=(60, 42, 24), save_bgmeta: bool = False,
                     col_chunk: int = 256, dtype=np.float32,
                     verbose: bool = False,
-                    cond_thresh: float = 1e-6, preloaded=None):
+                    cond_thresh: float = 1e-6, preloaded=None,
+                    backend: str = None):
     """Run the columnwise robust MF over a full flightline.
 
     Returns a dict with output paths and the column-stats arrays.
@@ -86,8 +87,16 @@ def robust_mf_image(infile: str, library: str, outfile: str,
     single-pass radiance read; skips every disk read of the cube (the
     reference property of touching the radiance once, robust_mf.py:
     297-298).
+
+    ``backend``: where the column loop computes — ``"device"`` (the
+    default accelerator), ``"host"`` (the CPU backend), or ``"auto"``
+    (default): probe the host->device link and route by measured
+    upload time vs calibrated host-compute time (_route_backend). The
+    SRCFINDER_CMF_BACKEND env var overrides a None/unset argument.
     """
     import contextlib
+    if backend is None:
+        backend = os.environ.get("SRCFINDER_CMF_BACKEND", "auto")
     ctx = (jax.enable_x64(True) if np.dtype(dtype) == np.float64
            else contextlib.nullcontext())
     with ctx:
@@ -97,10 +106,78 @@ def robust_mf_image(infile: str, library: str, outfile: str,
             reflectance=reflectance, rgb_bands=rgb_bands,
             save_bgmeta=save_bgmeta, col_chunk=col_chunk, dtype=dtype,
             verbose=verbose, cond_thresh=cond_thresh,
-            preloaded=preloaded)
+            preloaded=preloaded, backend=backend)
 
 
 _WARMED: set = set()
+
+# Link-probe handshake between the warm thread and the routing decision
+# in _robust_mf_image: the warm thread measures host->device bandwidth
+# (utils.accelprobe) after staging the executables, while the pipeline's
+# streaming read is still running, so the measurement costs no wall
+# clock. _H2D["probe"] is the h2d_probe() dict, None for a local-CPU
+# backend, or absent on probe failure (tunnel dead -> route host).
+import threading
+
+_H2D: dict = {}
+_H2D_EVENT = threading.Event()
+
+# Host-compute cost model for the routing decision, calibrated on the
+# deployment VM's single core (XLA:CPU, 2801x256x71 f32 chunk):
+# unimodal 3.94 s = ~20 ns/B, multimodal k=4 18.2 s = ~90 ns/B
+# (SCALING.md "The e2e warm>cold mystery"). Overridable for other hosts.
+_HOST_NS_PER_BYTE = float(os.environ.get(
+    "SRCFINDER_CMF_HOST_NS_PER_BYTE", "20"))
+_HOST_NS_PER_BYTE_MULTI = float(os.environ.get(
+    "SRCFINDER_CMF_HOST_NS_PER_BYTE_MULTI", "90"))
+
+
+def _route_backend(backend, nbytes, nblocks, bgmodes, dtype):
+    """Pick where the column loop runs: the default accelerator or the
+    host CPU backend.
+
+    The eigenbasis LOOCV collapse (cmf/matched_filter.py) leaves the CMF
+    at ~10 GFLOP per scene — so cheap that on a tunnel-attached
+    accelerator the slab upload dominates end-to-end time, and its
+    bandwidth is weather (measured 75 -> 12 -> ~1 MB/s across rounds;
+    SCALING.md "The e2e warm>cold mystery"). This is the same
+    arithmetic-intensity adjudication that put the masks kernel on the
+    host backend (masks/sds.masks_for_cube): route by the measured
+    link, not by where the FLOPs would be fastest. A locally attached
+    TPU measures GB/s and keeps the device path.
+
+    Returns (jax.Device or None, reason str): None = default device.
+    """
+    import jax
+
+    if backend == "device":
+        return None, "forced"
+    if backend == "host":
+        return jax.devices("cpu")[0], "forced"
+    if backend != "auto":
+        raise ValueError(f"invalid backend: {backend}")
+    if np.dtype(dtype) == np.float64:
+        # the f64 parity path is host-by-design: TPU f64 is emulated and
+        # its eigh NaNs on rank-deficient inputs (CLAUDE.md)
+        return jax.devices("cpu")[0], "float64 parity path is host-only"
+    wait_s = float(os.environ.get("SRCFINDER_CMF_PROBE_WAIT_S", "60"))
+    if not _H2D_EVENT.wait(wait_s):
+        # a 40 MB probe that cannot finish inside the window is itself
+        # evidence of a degraded link
+        return jax.devices("cpu")[0], f"link probe timed out ({wait_s:.0f}s)"
+    probe = _H2D.get("probe", "failed")
+    if probe is None:
+        return None, "local CPU backend"     # default device IS the host
+    if probe == "failed":
+        return jax.devices("cpu")[0], "link probe failed"
+    ns_b = _HOST_NS_PER_BYTE if bgmodes == 1 else _HOST_NS_PER_BYTE_MULTI
+    t_host = nbytes * ns_b * 1e-9
+    t_dev = (nblocks * (probe["overhead_s"] + 0.15)
+             + nbytes / (probe["mb_s"] * 1e6))
+    dev = jax.devices("cpu")[0] if t_host < t_dev else None
+    reason = (f"h2d {probe['mb_s']} MB/s +{probe['overhead_s']}s/xfer: "
+              f"est host {t_host:.1f}s vs device {t_dev:.1f}s")
+    return dev, reason
 
 
 def warm_tpu_async(nrows: int, col_chunk: int, nbands: int, *,
@@ -130,6 +207,20 @@ def warm_tpu_async(nrows: int, col_chunk: int, nbands: int, *,
     _WARMED.add(key)
 
     def _warm():
+        # probe the h2d link FIRST: _route_backend blocks on this
+        # measurement (with a timeout), and the executable staging below
+        # can itself take tens of seconds through a degraded tunnel —
+        # probe-after-staging was measured to push the decision into its
+        # 60 s timeout backstop (r5). If the route lands on the host the
+        # staging below is wasted, but it runs in this daemon thread
+        # after the event is set, costing the pipeline nothing.
+        try:
+            from ..utils.accelprobe import h2d_probe
+            _H2D["probe"] = h2d_probe()
+        except Exception:
+            _H2D.pop("probe", None)        # "failed" -> routed to host
+        finally:
+            _H2D_EVENT.set()
         try:
             x = jnp.zeros((nrows, col_chunk, nbands), dtype)
             m = jnp.ones((nrows, col_chunk), dtype)
@@ -147,7 +238,6 @@ def warm_tpu_async(nrows: int, col_chunk: int, nbands: int, *,
         except Exception:       # advisory only — the real pass reports
             pass
 
-    import threading
     t = threading.Thread(target=_warm, name="cmf-tpu-warm", daemon=True)
     t.start()
     return t
@@ -208,7 +298,7 @@ def _f64_cpu_columns_multimodal(xblk, cols, abscf, alphas, model,
 def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
                      reject, regfull, reflectance, rgb_bands, save_bgmeta,
                      col_chunk, dtype, verbose, cond_thresh,
-                     preloaded=None):
+                     preloaded=None, backend="auto"):
     img = envi_io.open_envi(infile)
     mm = img.open_memmap(interleave="source")
     if img.interleave != "bil":
@@ -281,8 +371,6 @@ def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
     colstd = np.full(ncols, nodata)
 
     ppm = 1.0 if reflectance else mfmod.PPM_SCALING
-    alphas_j = jnp.asarray(alphas.astype(dtype))
-    abscf_j = jnp.asarray(abscf.astype(dtype))
 
     # ---- fixed-shape batched column processing, with the host reads
     # double-buffered ahead of device compute ---------------------------
@@ -333,7 +421,17 @@ def _robust_mf_image(infile, library, outfile, model, bgmodes, pcadim,
         return xblk
 
     nblocks = -(-ncols // col_chunk)
-    for bi, xj in BlockPrefetcher(read_block, nblocks):
+    # device-vs-host routing by measured link bandwidth (the probe ran
+    # in the warm thread, overlapped with the slab read above)
+    active_bytes = (nrows * ncols * (active[1] - active[0] + 1)
+                    * np.dtype(dtype).itemsize)
+    route_dev, route_reason = _route_backend(backend, active_bytes,
+                                             nblocks, bgmodes, dtype)
+    route_name = "host" if route_dev is not None else "device"
+    print(f"[PROBE] cmf backend {route_name}: {route_reason}")
+    alphas_j = jax.device_put(alphas.astype(dtype), route_dev)
+    abscf_j = jax.device_put(abscf.astype(dtype), route_dev)
+    for bi, xj in BlockPrefetcher(read_block, nblocks, device=route_dev):
         c0 = bi * col_chunk
         c1 = min(ncols, c0 + col_chunk)
         width = c1 - c0

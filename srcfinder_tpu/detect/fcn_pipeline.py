@@ -580,6 +580,33 @@ def fcn_dilated_saliency(model: GoogLeNet, variables, img, scale: int = 32):
     return dense[off:off + h0, off:off + w0]
 
 
+_FOLDED_CACHE: dict = {}
+
+
+def load_saliency_model(weights_path: str, model_name: str = "multi_64",
+                        dtype=jnp.float32):
+    """Weights file -> (folded+fused inference model, device-committed
+    variables), memoized per (path, model, dtype) for the process.
+
+    The fold + single device_put upload (models.googlenet.
+    fold_inference) is paid ONCE even when several call sites need the
+    model — the pipeline CLI's warm thread and its real fcn stage were
+    each paying a separate ~12-24 MB weight upload through the tunnel
+    (minutes when its bandwidth is degraded to ~0.25 MB/s, r5;
+    SCALING.md "The e2e warm>cold mystery")."""
+    import os as _os
+    from .cnn_cli import load_weights
+    from ..models.googlenet import fold_inference
+
+    key = (_os.path.abspath(weights_path), model_name,
+           jnp.dtype(dtype).name)
+    if key not in _FOLDED_CACHE:
+        model = GoogLeNet(num_classes=2, dtype=dtype)
+        _FOLDED_CACHE[key] = fold_inference(model,
+                                            load_weights(weights_path))
+    return _FOLDED_CACHE[key]
+
+
 def fcn_saliency_image(img, variables, model_name: str = "multi_64",
                        scale: int = 32, batch: int = 16, nodata=-9999.0,
                        model: GoogLeNet | None = None, dtype=jnp.float32,

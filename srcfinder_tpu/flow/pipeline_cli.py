@@ -53,26 +53,35 @@ def _stage(name, timers, progress):
 
 
 def _warm_fcn_async(nrows, ncols, weights, model_name, method, fcn_dtype,
-                    load_weights, fcn_saliency_image):
-    """Stage the FCN saliency executable (weights load + fold + compile-
-    cache fetch + one dummy pass on zeros) in a daemon thread while the
-    cmf+masks stage streams the cube — same overlap rationale as
-    cmf.pipeline.warm_tpu_async (SCALING.md "CLI startup"). The real
-    fcn stage then hits the in-process jit cache. Advisory only:
-    failures surface in the real stage, not here."""
+                    fcn_saliency_image):
+    """Stage the FCN saliency executable (weights load + fold + ONE
+    committed upload + compile-cache fetch + one dummy pass on zeros)
+    in a daemon thread while the cmf+masks stage streams the cube —
+    same overlap rationale as cmf.pipeline.warm_tpu_async (SCALING.md
+    "CLI startup"). The weights go through fcn_pipeline.
+    load_saliency_model, so the real fcn stage reuses the committed
+    tree and the in-process jit cache (it re-uploaded its own copy
+    before r5 — two ~12-24 MB transfers, minutes under degraded tunnel
+    bandwidth). Advisory only: failures surface in the real stage."""
     if not weights:
         return None
 
     def _warm():
         try:
             import numpy as np
+            import jax
             import jax.numpy as jnp
-            variables = load_weights(weights)
+            from ..detect.fcn_pipeline import load_saliency_model
             fdt = jnp.bfloat16 if fcn_dtype == "bfloat16" else jnp.float32
+            model, variables = load_saliency_model(
+                weights, model_name=model_name, dtype=fdt)
             z = np.zeros((nrows, ncols), np.float32)
-            np.asarray(fcn_saliency_image(z, variables,
-                                          model_name=model_name,
-                                          method=method, dtype=fdt))
+            # block_until_ready (not np.asarray): the executable is
+            # staged at dispatch; fetching the dummy saliency would
+            # drag ~7 MB back through the tunnel for nothing
+            jax.block_until_ready(fcn_saliency_image(
+                z, variables, model_name=model_name, method=method,
+                dtype=fdt, model=model))
         except Exception:
             pass
 
@@ -97,7 +106,6 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
     from ..cmf.pipeline import robust_mf_image
     from ..detect.fcn_pipeline import fcn_saliency_image
     from ..detect.salience import salience2detections, save_detections
-    from ..detect.cnn_cli import load_weights
 
     os.makedirs(outdir, exist_ok=True)
     base = os.path.basename(radiance)
@@ -175,8 +183,7 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
             # be mid-TPU-call at interpreter shutdown on fast runs).
             if not os.path.exists(salf):
                 _warm_fcn_async(L, C, weights, model_name, method,
-                                fcn_dtype, load_weights,
-                                fcn_saliency_image)
+                                fcn_dtype, fcn_saliency_image)
             slab = np.empty((L, C, a1 - a0), np.float32)
             rgb = np.empty((L, C, 3), np.float32)
 
@@ -245,14 +252,18 @@ def run_flightline(radiance: str, library: str, weights: str, outdir: str,
         progress(f"[SKIP] saliency exists: {salf}")
     else:
         with _stage("fcn", timers, progress):
-            variables = load_weights(weights)
+            from ..detect.fcn_pipeline import load_saliency_model
             img = envi_io.open_envi(cmff)
             band = np.asarray(img.read_band(-1), dtype=np.float32)
             import jax.numpy as jnp
             fdt = jnp.bfloat16 if fcn_dtype == "bfloat16" else jnp.float32
+            # memoized: reuses the warm thread's folded+committed tree
+            model, variables = load_saliency_model(
+                weights, model_name=model_name, dtype=fdt)
             sal = np.asarray(fcn_saliency_image(band, variables,
                                                 model_name=model_name,
-                                                method=method, dtype=fdt))
+                                                method=method, dtype=fdt,
+                                                model=model))
             meta = {"data ignore value": -9999}
             if "map info" in img.metadata:
                 meta["map info"] = img.metadata["map info"]

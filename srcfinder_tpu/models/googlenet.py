@@ -452,6 +452,15 @@ def fold_inference(model: GoogLeNet, variables):
     ONE ``jax.device_put`` (a transfer, not an op — no eager-compile
     tax): host-resident weights would otherwise be re-uploaded on
     EVERY jitted call (~24 MB/call, measured ~0.3-0.9 s through the
-    tunnel depending on its state)."""
-    return (model.clone(fused=True, folded=True),
-            jax.device_put(fold_variables(fuse_variables(variables))))
+    tunnel depending on its state). For a half-precision inference
+    model the tree is cast on the host first — Flax casts params to
+    ``model.dtype`` at compute time anyway (identical numerics), and
+    uploading f32 doubles the tunnel bytes for no reason (the upload
+    was the fcn stage's critical path under degraded tunnel bandwidth,
+    SCALING.md "The e2e warm>cold mystery")."""
+    folded = fold_variables(fuse_variables(variables))
+    if model.dtype in (jnp.bfloat16, jnp.float16):
+        folded = jax.tree.map(
+            lambda a: a.astype(model.dtype)
+            if getattr(a, "dtype", None) == np.float32 else a, folded)
+    return model.clone(fused=True, folded=True), jax.device_put(folded)
