@@ -62,7 +62,15 @@ def _warm_fcn_async(nrows, ncols, weights, model_name, method, fcn_dtype,
     load_saliency_model, so the real fcn stage reuses the committed
     tree and the in-process jit cache (it re-uploaded its own copy
     before r5 — two ~12-24 MB transfers, minutes under degraded tunnel
-    bandwidth). Advisory only: failures surface in the real stage."""
+    bandwidth). Advisory only: failures surface in the real stage.
+
+    The [PROBE] lines are stall evidence: the weight commit is this
+    process's FIRST device contact, and through the axon tunnel that
+    first contact stalls for minutes under degraded link state (433 s
+    for 1 MB measured r5, then 0.6 s for the next 12 MB — SCALING.md
+    "The per-process first-contact stall"). A slow fcn stage with a
+    large contact probe is link weather; with a small one it is code.
+    bench.py collects them per e2e child as e2e_fcn_contact_s."""
     if not weights:
         return None
 
@@ -73,8 +81,11 @@ def _warm_fcn_async(nrows, ncols, weights, model_name, method, fcn_dtype,
             import jax.numpy as jnp
             from ..detect.fcn_pipeline import load_saliency_model
             fdt = jnp.bfloat16 if fcn_dtype == "bfloat16" else jnp.float32
+            t0 = time.time()
             model, variables = load_saliency_model(
                 weights, model_name=model_name, dtype=fdt)
+            print(f"[PROBE] fcn first device contact (weight commit) "
+                  f"in {time.time() - t0:.1f}s", flush=True)
             z = np.zeros((nrows, ncols), np.float32)
             # block_until_ready (not np.asarray): the executable is
             # staged at dispatch; fetching the dummy saliency would
@@ -82,6 +93,8 @@ def _warm_fcn_async(nrows, ncols, weights, model_name, method, fcn_dtype,
             jax.block_until_ready(fcn_saliency_image(
                 z, variables, model_name=model_name, method=method,
                 dtype=fdt, model=model))
+            print(f"[PROBE] fcn executable staged in "
+                  f"{time.time() - t0:.1f}s", flush=True)
         except Exception:
             pass
 
