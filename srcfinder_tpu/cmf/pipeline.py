@@ -170,6 +170,11 @@ def _route_backend(backend, nbytes, nblocks, bgmodes, dtype):
         return None, "local CPU backend"     # default device IS the host
     if probe == "failed":
         return jax.devices("cpu")[0], "link probe failed"
+    if probe["mb_s"] <= 0:
+        # a stalled tunnel rounds to 0.0 MB/s (256 KB in > ~50 s, r5
+        # smoke) — no arithmetic needed, and the division below would
+        # ZeroDivisionError
+        return jax.devices("cpu")[0], "link effectively dead (0 MB/s)"
     ns_b = _HOST_NS_PER_BYTE if bgmodes == 1 else _HOST_NS_PER_BYTE_MULTI
     t_host = nbytes * ns_b * 1e-9
     t_dev = (nblocks * (probe["overhead_s"] + 0.15)

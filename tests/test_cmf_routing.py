@@ -114,3 +114,12 @@ def test_backend_env_override(tmp_path, rng, monkeypatch, capsys):
     pl.robust_mf_image(infile, libf, str(tmp_path / "cmf_env"),
                        dtype=np.float32, col_chunk=4)
     assert "[PROBE] cmf backend host: forced" in capsys.readouterr().out
+
+
+def test_route_dead_link_is_host(monkeypatch):
+    # a stalled tunnel rounds to mb_s 0.0 (256 KB in > ~50 s) — must
+    # route host, not ZeroDivisionError (r5 smoke regression)
+    _with_probe(monkeypatch, {"mb_s": 0.0, "overhead_s": 0.0})
+    dev, why = pl._route_backend("auto", CHUNK, 1, 1, np.float32)
+    assert dev.platform == "cpu"
+    assert "dead" in why
